@@ -70,7 +70,9 @@ def test_apply_rotary_matches_reference(ref_rope, rng):
             torch.tensor(token_counts, dtype=torch.int32),
             torch.device("cpu"),
         )
-        ref_out = ref_apply(torch.from_numpy(x), ref_cis).numpy()
+        # ref_apply mutates its input in place (view_as_complex of a view);
+        # pass a copy so our input stays pristine
+        ref_out = ref_apply(torch.from_numpy(x.copy()), ref_cis).numpy()
 
     cos, sin = rope_cos_sin(ids, HEAD_DIM, GRID_DIMS)
     ours = np.asarray(apply_rotary_emb(x, cos, sin))
