@@ -1,0 +1,211 @@
+"""TiTok: ViT encoder → FSQ → ViT decoder over packed video batches.
+
+Mirrors the reference model wiring (reference ``model/titok.py``):
+``token_size = len(fsq_levels)`` (``titok.py:29``) — the latent channel dim
+equals the number of FSQ levels.
+
+Two API layers:
+
+- :class:`TiTok` (flax module) — pure functions over PackedBatch device
+  arrays; everything jittable. This is what training uses.
+- :class:`TiTokModel` — stateful convenience wrapper owning params that
+  accepts *lists of CTHW videos* and per-sample token counts, keeping the
+  reference's public tokenizer API
+  (``encode(x, token_counts, split_indices=True)`` ``titok.py:47-52``,
+  ``decode_indices(indices, grids)`` ``titok.py:54-62``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from titok_tpu.data.packing import (
+    PackedBatch,
+    max_samples_for,
+    pack_samples,
+    unpack_indices,
+    unpack_videos,
+)
+from titok_tpu.models.blocks import HEAD_DIM, PackedDecoder, PackedEncoder
+from titok_tpu.models.quantizer import FSQ
+
+
+class TiTok(nn.Module):
+    """Functional TiTok over packed buffers.
+
+    Config keys consumed (same schema as the reference
+    ``configs/tiny.yaml``): ``tokenizer.model.{patch_size, fsq_levels,
+    encoder_size, decoder_size}``.
+    """
+
+    patch_size: Sequence[int] = (4, 8, 8)
+    fsq_levels: Sequence[int] = (7, 5, 5, 5, 5)
+    encoder_size: str = "tiny"
+    decoder_size: str = "tiny"
+    in_channels: int = 3
+    dtype: Any = jnp.bfloat16
+    attn_impl: str = "auto"
+
+    @property
+    def token_size(self) -> int:
+        return len(self.fsq_levels)
+
+    def setup(self):
+        self.encoder = PackedEncoder(
+            model_size=self.encoder_size,
+            patch_size=tuple(self.patch_size),
+            in_channels=self.in_channels,
+            out_channels=self.token_size,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            name="encoder",
+        )
+        self.quantize = FSQ(self.fsq_levels)
+        self.decoder = PackedDecoder(
+            model_size=self.decoder_size,
+            patch_size=tuple(self.patch_size),
+            in_channels=self.token_size,
+            out_channels=self.in_channels,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            name="decoder",
+        )
+
+    # -- packed (jittable) API -------------------------------------------
+    def encode_packed(self, batch: dict) -> tuple[jnp.ndarray, dict]:
+        """[S,P] patches -> ([S, token_size] quantized codes, {'indices': [S]}).
+
+        Valid at token slots only (ref ``titok.py:47-52``); other rows carry
+        garbage that downstream masks out. FSQ runs at every slot to keep the
+        shape static — elementwise, so the cost is negligible.
+        """
+        z = self.encoder(
+            batch["patches"], batch["token_mask"], batch["segment_ids"],
+            batch["rope_cos"], batch["rope_sin"],
+        )
+        codes, aux = self.quantize(z)
+        return codes, aux
+
+    def decode_packed(self, codes: jnp.ndarray, batch: dict) -> jnp.ndarray:
+        """[S, token_size] codes -> [S, C*prod(patch)] patch pixels."""
+        return self.decoder(
+            codes, batch["token_mask"], batch["segment_ids"],
+            batch["rope_cos"], batch["rope_sin"],
+        )
+
+    def decode_indices_packed(self, indices: jnp.ndarray, batch: dict) -> jnp.ndarray:
+        """int32 [S] codebook ids -> [S, C*prod(patch)] (ref ``titok.py:54-62``)."""
+        codes = self.quantize.indices_to_codes(indices).astype(self.dtype)
+        return self.decode_packed(codes, batch)
+
+    def __call__(self, batch: dict) -> tuple[jnp.ndarray, dict]:
+        codes, aux = self.encode_packed(batch)
+        recon = self.decode_packed(codes, batch)
+        return recon, aux
+
+
+def make_titok(config) -> TiTok:
+    """Build a TiTok module from a framework Config (ref ``titok.py:24-45``)."""
+    tm = config.tokenizer.model
+    precision = str(config.training.main.get("precision", "bf16-mixed"))
+    dtype = {"bf16": jnp.bfloat16, "16": jnp.float16, "32": jnp.float32}[
+        precision.split("-")[0]
+    ]
+    return TiTok(
+        patch_size=tuple(tm.patch_size),
+        fsq_levels=tuple(tm.fsq_levels),
+        encoder_size=tm.encoder_size,
+        decoder_size=tm.decoder_size,
+        dtype=dtype,
+        attn_impl=str(config.training.main.get("attn_impl", "auto")),
+    )
+
+
+class TiTokModel:
+    """Stateful wrapper with the reference's list-of-videos public API.
+
+    Not used in the training hot loop (training consumes PackedBatch
+    directly); this is the inference/tokenizer-served surface.
+    """
+
+    def __init__(self, module: TiTok, params=None, seed: int = 0,
+                 seq_len: int = 4096, min_grid: Sequence[int] = (8, 128, 128)):
+        self.module = module
+        self.seq_len = seq_len
+        self.max_samples = max_samples_for(seq_len, min_grid, module.patch_size)
+        if params is None:
+            params = self.init_params(seed)
+        self.params = params
+        self._jit_forward = jax.jit(
+            lambda p, b: self.module.apply({"params": p}, b)
+        )
+        self._jit_decode_indices = jax.jit(
+            lambda p, idx, b: self.module.apply(
+                {"params": p}, idx, b, method=self.module.decode_indices_packed
+            )
+        )
+
+    def init_params(self, seed: int = 0):
+        d = self._dummy_batch()
+        return self.module.init(jax.random.PRNGKey(seed), d)["params"]
+
+    def _dummy_batch(self) -> dict:
+        ps = list(self.module.patch_size)
+        vid = np.zeros([self.module.in_channels] + [p * 2 for p in ps], np.float32)
+        b = pack_samples([vid], [1], seq_len=self.seq_len,
+                         max_samples=self.max_samples, patch_size=ps,
+                         head_dim=HEAD_DIM)
+        return b.device_arrays()
+
+    def _pack(self, videos, token_counts, fps=None) -> PackedBatch:
+        return pack_samples(
+            [np.asarray(v, np.float32) for v in videos],
+            [int(t) for t in token_counts],
+            seq_len=self.seq_len, max_samples=self.max_samples,
+            patch_size=list(self.module.patch_size), head_dim=HEAD_DIM, fps=fps,
+        )
+
+    # -- reference-parity public API --------------------------------------
+    def encode(self, videos, token_counts, split_indices: bool = True):
+        """Videos -> per-sample int32 codebook indices (ref ``titok.py:47-52``)."""
+        batch = self._pack(videos, token_counts)
+        _, aux = self._jit_forward(self.params, batch.device_arrays())
+        idx = np.asarray(aux["indices"])
+        return unpack_indices(idx, batch) if split_indices else idx
+
+    def decode_indices(self, indices: Sequence[np.ndarray], grids):
+        """Per-sample index lists + pixel-space grids -> list of CTHW videos
+        (ref ``titok.py:54-62``)."""
+        token_counts = [len(i) for i in indices]
+        ps = list(self.module.patch_size)
+        videos = [
+            np.zeros([self.module.in_channels] + [int(g) for g in grid], np.float32)
+            for grid in grids
+        ]
+        batch = self._pack(videos, token_counts)
+        # place the provided indices at their token slots
+        from titok_tpu.data.packing import sample_offsets
+
+        offs = sample_offsets(batch.token_counts, batch.grid_sizes)
+        flat = np.zeros((batch.seq_len,), np.int32)
+        for b, idx in enumerate(indices):
+            flat[offs[b] : offs[b] + len(idx)] = np.asarray(idx, np.int32)
+        recon = self._jit_decode_indices(self.params, flat, batch.device_arrays())
+        return unpack_videos(np.asarray(recon, np.float32), batch, ps)
+
+    def forward(self, videos, token_counts):
+        """Videos -> (reconstructions, {'indices': per-sample list})
+        (ref ``titok.py:68-74``)."""
+        batch = self._pack(videos, token_counts)
+        recon, aux = self._jit_forward(self.params, batch.device_arrays())
+        vids = unpack_videos(np.asarray(recon, np.float32), batch,
+                             list(self.module.patch_size))
+        return vids, {"indices": unpack_indices(np.asarray(aux["indices"]), batch)}
+
+    __call__ = forward

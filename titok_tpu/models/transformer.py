@@ -1,0 +1,129 @@
+"""Transformer core: GQA attention with sigmoid output gate, GEGLU FFN, and
+the KEEL alpha-scaled residual stack.
+
+Semantics follow reference ``model/base/transformer.py``:
+
+- ``Attn`` (ref ``:69-104``): RMSNorm pre-norm; one fused ``to_qkv``
+  projection producing q + sigmoid output gate + k + v with no biases
+  (``:78,87``); RoPE on q and k (``:97-98``); varlen attention over packed
+  segments (``:100``); output gated by ``sigmoid(gate)``
+  (Qwen3-next-style, ``:103``); ``out_proj`` without bias.
+- ``GEGLU`` (ref ``:36-56``): inner dim ``mult*(2/3)*dim`` rounded up to a
+  multiple of 32; RMSNorm pre-norm; ``gelu(gate) * x`` with **exact** (erf)
+  GELU (torch default); no biases.
+- ``ResidualAttentionBlock`` (ref ``:107-146``): layer 0 is standard
+  pre-LN residual; layers >= 1 use ``x = alpha*x + sublayer(x)`` followed by
+  a post-RMSNorm with ``alpha = 2 * num_layers`` (KEEL,
+  arXiv 2601.19895 as cited by the reference).
+
+TPU-first notes: the whole stack operates on one packed ``[S, width]``
+buffer; attention dispatches to the Pallas flash kernel with segment-id
+masking on TPU. bf16 compute / fp32 params, norms and softmax in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from titok_tpu.models.rope import apply_rotary_emb
+from titok_tpu.ops.attention import segment_attention
+from titok_tpu.ops.rmsnorm import RMSNorm
+
+# reference init: trunc_normal(std=0.02) with +-2 absolute cutoffs (= 100
+# sigma, effectively untruncated), biases zero (ref utils.py:54-60)
+dense_init = nn.initializers.normal(stddev=0.02)
+
+
+class Attn(nn.Module):
+    dim: int
+    heads: Sequence[int]  # [q_heads, kv_heads]
+    dtype: Any = jnp.bfloat16
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, rope_cos, rope_sin, segment_ids):
+        q_heads, kv_heads = self.heads
+        head_dim = self.dim // q_heads
+        gqa_dim = head_dim * kv_heads
+
+        x = RMSNorm(name="pre_ln")(x)
+        qkv = nn.Dense(
+            2 * self.dim + 2 * gqa_dim, use_bias=False, name="to_qkv",
+            kernel_init=dense_init, dtype=self.dtype, param_dtype=jnp.float32,
+        )(x)
+        q, gate, k, v = jnp.split(
+            qkv, [self.dim, 2 * self.dim, 2 * self.dim + gqa_dim], axis=-1
+        )
+        S = x.shape[0]
+        q = q.reshape(S, q_heads, head_dim)
+        k = k.reshape(S, kv_heads, head_dim)
+        v = v.reshape(S, kv_heads, head_dim)
+
+        q = apply_rotary_emb(q, rope_cos, rope_sin)
+        k = apply_rotary_emb(k, rope_cos, rope_sin)
+
+        o = segment_attention(q, k, v, segment_ids, impl=self.attn_impl)
+        o = o.reshape(S, self.dim)
+        o = o * nn.sigmoid(gate)
+        return nn.Dense(
+            self.dim, use_bias=False, name="out_proj",
+            kernel_init=dense_init, dtype=self.dtype, param_dtype=jnp.float32,
+        )(o)
+
+
+class GEGLU(nn.Module):
+    dim: int
+    mult: float = 4.0
+    mult_of: int = 32
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        inner = int(self.mult * (2.0 / 3.0) * self.dim)
+        inner = self.mult_of * ((inner + self.mult_of - 1) // self.mult_of)
+
+        x = RMSNorm(name="norm")(x)
+        h = nn.Dense(
+            inner * 2, use_bias=False, name="w12",
+            kernel_init=dense_init, dtype=self.dtype, param_dtype=jnp.float32,
+        )(x)
+        h1, gate = jnp.split(h, 2, axis=-1)
+        h = nn.gelu(gate, approximate=False) * h1  # exact erf GELU, ref :51
+        return nn.Dense(
+            self.dim, use_bias=False, name="w3",
+            kernel_init=dense_init, dtype=self.dtype, param_dtype=jnp.float32,
+        )(h)
+
+
+class ResidualAttentionBlock(nn.Module):
+    embed_dim: int = 512
+    heads: Sequence[int] = (8, 2)
+    mlp_ratio: float = 4.0
+    num_layer: int = 2
+    dtype: Any = jnp.bfloat16
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, rope_cos, rope_sin, segment_ids):
+        alpha = jnp.asarray(self.num_layer * 2, dtype=x.dtype)
+        for i in range(self.num_layer):
+            attn = Attn(
+                self.embed_dim, self.heads, dtype=self.dtype,
+                attn_impl=self.attn_impl, name=f"attn_{i}",
+            )
+            ffd = GEGLU(
+                self.embed_dim, mult=self.mlp_ratio, dtype=self.dtype,
+                name=f"ffd_{i}",
+            )
+            if i == 0:  # standard pre-LN residual (ref :128-130)
+                x = x + attn(x, rope_cos, rope_sin, segment_ids)
+                x = x + ffd(x)
+            else:  # KEEL: alpha-scaled residual + post-LN (ref :141-145)
+                x = alpha * x + attn(x, rope_cos, rope_sin, segment_ids)
+                x = RMSNorm(name=f"attn_post_ln_{i - 1}")(x)
+                x = alpha * x + ffd(x)
+                x = RMSNorm(name=f"ffd_post_ln_{i - 1}")(x)
+        return x

@@ -1,0 +1,79 @@
+"""Segment-masked (block-diagonal) attention over packed sequences.
+
+This is the TPU-native replacement for the reference's
+``flash_attn_varlen_func(q, k, v, cu_seqlens)`` (reference
+``model/base/transformer.py:100``): packed samples become *segments* in one
+fixed-size buffer, and the block-diagonal varlen mask becomes a
+``segment_ids[i] == segment_ids[j]`` predicate.
+
+Two implementations:
+
+- :func:`segment_attention_reference` — dense masked attention in pure XLA.
+  O(S²) memory; used as the ground truth in tests and as the fallback on
+  CPU / for short sequences.
+- :func:`titok_tpu.ops.flash_attention.flash_segment_attention` — a Pallas
+  flash-attention kernel with segment-id masking and block skipping
+  (O(S) memory, MXU-tiled). Selected automatically on TPU.
+
+Both handle GQA (q_heads a multiple of kv_heads) and use fp32 softmax with
+bf16 matmul inputs, matching flash-attn's numerics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def segment_attention_reference(
+    q: jnp.ndarray,  # [S, Hq, D]
+    k: jnp.ndarray,  # [S, Hkv, D]
+    v: jnp.ndarray,  # [S, Hkv, D]
+    segment_ids: jnp.ndarray,  # int32 [S]
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Dense masked attention. Returns [S, Hq, D] in q.dtype."""
+    S, Hq, D = q.shape
+    Hkv = k.shape[1]
+    assert Hq % Hkv == 0
+    rep = Hq // Hkv
+    if rep > 1:
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+    if scale is None:
+        scale = D ** -0.5
+
+    logits = jnp.einsum(
+        "qhd,khd->hqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    mask = segment_ids[:, None] == segment_ids[None, :]  # [S, S]
+    logits = jnp.where(mask[None, :, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "hqk,khd->qhd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(q.dtype)
+
+
+def segment_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    scale: float | None = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Dispatching entry point used by the transformer.
+
+    ``impl``: 'auto' (Pallas flash on TPU, dense elsewhere), 'flash',
+    or 'reference'.
+    """
+    if impl == "auto":
+        impl = "flash" if jax.default_backend() == "tpu" else "reference"
+    if impl == "flash":
+        from titok_tpu.ops.flash_attention import flash_segment_attention
+
+        return flash_segment_attention(q, k, v, segment_ids, scale=scale)
+    return segment_attention_reference(q, k, v, segment_ids, scale)
