@@ -215,6 +215,71 @@ def unpack_indices(indices: np.ndarray, batch: PackedBatch) -> list[np.ndarray]:
     return out
 
 
+@dataclasses.dataclass
+class DiscBatch:
+    """Packed layout for the discriminator pass (reference
+    ``loss_module.py:42-48,96-101``): same clips, but every sample gets a
+    fixed ``disc_tokens`` register tokens instead of its variable latent
+    count. Patch pixels are not re-shipped — ``patch_gather`` maps disc
+    patch slots back to tokenizer slots so both the target buffer and the
+    on-device reconstruction can be regathered for the 5 disc forwards."""
+
+    patch_gather: np.ndarray  # int32 [Sd] -> slot in [S] (0 at token/pad slots)
+    is_patch: np.ndarray      # bool [Sd]
+    segment_ids: np.ndarray   # int32 [Sd]
+    token_mask: np.ndarray    # bool [Sd]
+    rope_cos: np.ndarray      # f32 [Sd, R]
+    rope_sin: np.ndarray      # f32 [Sd, R]
+    sample_valid: np.ndarray  # bool [Bmax]
+
+    def device_arrays(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def build_disc_batch(batch: PackedBatch, disc_tokens: int = 4,
+                     head_dim: int = 64) -> DiscBatch:
+    """Build the disc-side packing plan from a tokenizer PackedBatch."""
+    Bmax = batch.max_samples
+    S = batch.seq_len
+    Sd = S + disc_tokens * Bmax
+    n_dims = batch.grids.shape[1]
+
+    patch_gather = np.zeros((Sd,), np.int32)
+    is_patch = np.zeros((Sd,), bool)
+    segment_ids = np.zeros((Sd,), np.int32)
+    token_mask = np.zeros((Sd,), bool)
+    positions = np.zeros((Sd, n_dims), np.float64)
+
+    offs = sample_offsets(batch.token_counts, batch.grid_sizes)
+    d_off = 0
+    for b in range(batch.num_samples):
+        gs = int(batch.grid_sizes[b])
+        tc = int(batch.token_counts[b])
+        end = d_off + disc_tokens + gs
+        segment_ids[d_off:end] = b + 1
+        token_mask[d_off : d_off + disc_tokens] = True
+        src_start = int(offs[b]) + tc
+        patch_gather[d_off + disc_tokens : end] = np.arange(src_start, src_start + gs)
+        is_patch[d_off + disc_tokens : end] = True
+        positions[d_off:end] = positions_for_sample(batch.grids[b], disc_tokens)
+        d_off = end
+
+    cos, sin = rope_cos_sin(positions, head_dim, n_dims)
+    pad = segment_ids == 0
+    cos[pad] = 1.0
+    sin[pad] = 0.0
+
+    return DiscBatch(
+        patch_gather=patch_gather,
+        is_patch=is_patch,
+        segment_ids=segment_ids,
+        token_mask=token_mask,
+        rope_cos=cos,
+        rope_sin=sin,
+        sample_valid=batch.sample_valid.copy(),
+    )
+
+
 class Packer:
     """Streaming dynamic packer (reference ``_dynamic_batching``,
     ``video_dataset.py:130-172``).

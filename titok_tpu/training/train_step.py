@@ -1,0 +1,170 @@
+"""The jitted TiTok train step: generator update then discriminator update.
+
+Replaces the reference's Lightning manual-optimization loop
+(reference ``train.py:48-115``): one generator pass (forward → loss →
+backward → clip → AdamW step → cosine sched) followed by one discriminator
+pass on the detached reconstruction — but fused into a **single jitted XLA
+program** per step, including all 5 discriminator forwards and the LPIPS
+tower. No Python in the hot loop; the host only feeds PackedBatch buffers
+and reads back scalars.
+
+Optimizers mirror ``train.py:170-216``: AdamW (betas from config, weight
+decay on all params as torch does), cosine schedule with warmup and floor,
+global-norm gradient clipping (``train.py:76-77``), and a separate AdamW
+for the disc at ``lr * disc_lr_ratio``.
+
+Multi-chip: ``train_step`` is shardable with ``jax.jit`` + NamedSharding —
+see ``titok_tpu/parallel/``. Batches gain a leading mesh axis; per-sample
+reductions stay local and the final scalar means + grads are psum'd by the
+SPMD partitioner over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from titok_tpu.train_utils.lr_schedulers import get_scheduler
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    gen_params: Any
+    gen_opt: Any
+    disc_params: Any
+    disc_opt: Any
+    rng: jnp.ndarray
+
+
+@dataclasses.dataclass
+class TrainStepBuilder:
+    """Builds the pure train-step function from config + modules."""
+
+    model: Any        # TiTok linen module
+    loss_system: Any  # LossSystem
+    config: Any
+
+    def make_optimizers(self):
+        opt_c = self.config.optimizer
+        lr = float(opt_c.learning_rate)
+        elr = float(opt_c.end_lr)
+        dlr = float(opt_c.get("disc_lr_ratio", 1.0))
+        wd = float(opt_c.weight_decay)
+        b1, b2 = float(opt_c.beta1), float(opt_c.beta2)
+        warm = int(opt_c.warmup_steps)
+        max_steps = int(self.config.training.main.max_steps)
+        clip = self.config.training.main.get("max_grad_norm", None)
+
+        self.gen_sched = get_scheduler("cosine", warm, max_steps, lr, elr)
+        self.disc_sched = get_scheduler(
+            "cosine", warm, max_steps, lr * dlr, elr * dlr
+        )
+
+        def make(sched):
+            parts = []
+            if clip:
+                parts.append(optax.clip_by_global_norm(float(clip)))
+            parts.append(
+                optax.adamw(sched, b1=b1, b2=b2, weight_decay=wd, eps=1e-8)
+            )
+            return optax.chain(*parts)
+
+        self.gen_tx = make(self.gen_sched)
+        self.disc_tx = make(self.disc_sched)
+        return self.gen_tx, self.disc_tx
+
+    def init_state(self, rng, batch, disc) -> TrainState:
+        """Initialize params + optimizer states from a sample batch."""
+        self.make_optimizers()
+        k_gen, k_disc, k_state = jax.random.split(rng, 3)
+        gen_params = self.model.init(k_gen, batch)["params"]
+        if self.loss_system.use_disc:
+            disc_params = self.loss_system.init_disc_params(k_disc, batch, disc)
+            disc_opt = self.disc_tx.init(disc_params)
+        else:
+            disc_params = {}
+            disc_opt = ()
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            gen_params=gen_params,
+            gen_opt=self.gen_tx.init(gen_params),
+            disc_params=disc_params,
+            disc_opt=disc_opt,
+            rng=k_state,
+        )
+
+    def make_train_step(self, lpips_params) -> Callable:
+        """Returns ``train_step(state, batch, disc, perc) -> (state, metrics)``.
+
+        ``lpips_params`` are closed over as frozen constants (the reference
+        freezes + excludes them from checkpoints, ``train.py:218-220``).
+        """
+        model = self.model
+        ls = self.loss_system
+        gen_tx, disc_tx = self.gen_tx, self.disc_tx
+        gen_sched, disc_sched = self.gen_sched, self.disc_sched
+
+        def gen_loss_fn(gen_params, disc_params, batch, disc, perc):
+            recon, aux = model.apply({"params": gen_params}, batch)
+            loss, loss_dict = ls.generator_loss(
+                lpips_params, disc_params, recon, batch, disc, perc
+            )
+            return loss, (recon, aux, loss_dict)
+
+        def disc_loss_fn(disc_params, recon, batch, disc, rng):
+            return ls.discriminator_loss(disc_params, recon, batch, disc, rng)
+
+        def train_step(state: TrainState, batch, disc, perc):
+            metrics = {}
+            rng, noise_key = jax.random.split(state.rng)
+
+            # -- generator update (ref train.py:64-84) ----------------------
+            grads, (recon, aux, loss_dict) = jax.grad(
+                gen_loss_fn, has_aux=True
+            )(state.gen_params, state.disc_params, batch, disc, perc)
+            metrics.update(loss_dict)
+            metrics["grad_norm/generator"] = optax.global_norm(grads)
+            updates, gen_opt = gen_tx.update(grads, state.gen_opt, state.gen_params)
+            gen_params = optax.apply_updates(state.gen_params, updates)
+            metrics["g_lr"] = gen_sched(state.step)
+
+            # -- discriminator update (ref train.py:88-108) -----------------
+            disc_params, disc_opt = state.disc_params, state.disc_opt
+            if ls.use_disc:
+                recon_sg = jax.lax.stop_gradient(recon)
+                d_grads, d_dict = jax.grad(disc_loss_fn, has_aux=True)(
+                    state.disc_params, recon_sg, batch, disc, noise_key
+                )
+                metrics.update(d_dict)
+                metrics["grad_norm/discriminator"] = optax.global_norm(d_grads)
+                d_updates, disc_opt = disc_tx.update(
+                    d_grads, state.disc_opt, state.disc_params
+                )
+                disc_params = optax.apply_updates(state.disc_params, d_updates)
+                metrics["d_lr"] = disc_sched(state.step)
+
+            new_state = state.replace(
+                step=state.step + 1,
+                gen_params=gen_params,
+                gen_opt=gen_opt,
+                disc_params=disc_params,
+                disc_opt=disc_opt,
+                rng=rng,
+            )
+            return new_state, metrics, aux["indices"]
+
+        return train_step
+
+    def make_eval_step(self) -> Callable:
+        model = self.model
+
+        def eval_step(gen_params, batch):
+            recon, aux = model.apply({"params": gen_params}, batch)
+            return recon, aux["indices"]
+
+        return eval_step
