@@ -1,0 +1,63 @@
+"""JEDi metric (reference ``model/metrics/jedi.py``): polynomial-kernel MMD
+between V-JEPA features of reconstructions and targets, ×100.
+
+The MMD math (``jedi.py:161-178``) is self-contained and ported here. The
+feature extractor requires an external V-JEPA checkpoint + attentive-probe
+pooler which the reference downloads and runs through the facebookresearch
+``jepa`` repo on sys.path (``jedi.py:4-5,19-70``). In this zero-egress
+framework the extractor is pluggable exactly like FVD's I3D: provide a
+callable ``video_bcthw -> features [B, D]`` (e.g. a local torchscript) or
+the metric raises at update time.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+
+def mmd_poly(X: np.ndarray, Y: np.ndarray, degree: int = 3, gamma=None,
+             coef0: float = 1.0) -> float:
+    """Polynomial-kernel MMD² (reference ``jedi.py:161-178``, as in
+    sklearn.metrics.pairwise.polynomial_kernel)."""
+    X = np.asarray(X, np.float64)
+    Y = np.asarray(Y, np.float64)
+    if gamma is None:
+        gamma = 1.0 / X.shape[1]
+
+    def k(a, b):
+        return (gamma * a.dot(b.T) + coef0) ** degree
+
+    m, n = len(X), len(Y)
+    kxx = k(X, X)
+    kyy = k(Y, Y)
+    kxy = k(X, Y)
+    return float(kxx.mean() + kyy.mean() - 2 * kxy.mean()) if m and n else 0.0
+
+
+class JEDiMetric:
+    def __init__(self, feature_fn: Optional[Callable] = None,
+                 model_name: str = "vit_large"):
+        self.feature_fn = feature_fn
+        self.model_name = model_name
+        self.reset()
+
+    def update(self, recon_bcthw: np.ndarray, target_bcthw: np.ndarray) -> None:
+        if self.feature_fn is None:
+            raise RuntimeError(
+                "JEDi needs a V-JEPA feature extractor; pass feature_fn "
+                "(zero-egress: the reference downloads jepa weights, "
+                "jedi.py:24-70)."
+            )
+        self.fake.append(np.asarray(self.feature_fn(recon_bcthw)))
+        self.real.append(np.asarray(self.feature_fn(target_bcthw)))
+
+    def compute(self) -> float:
+        real = np.concatenate(self.real, axis=0)
+        fake = np.concatenate(self.fake, axis=0)
+        return mmd_poly(real, fake) * 100.0  # ref jedi.py:147-152
+
+    def reset(self) -> None:
+        self.real: list[np.ndarray] = []
+        self.fake: list[np.ndarray] = []
