@@ -109,6 +109,28 @@ def sample_offsets(token_counts: np.ndarray, grid_sizes: np.ndarray) -> np.ndarr
     return np.concatenate([[0], np.cumsum(seq_lens)]).astype(np.int64)
 
 
+def video_dims(vid: np.ndarray) -> tuple[int, ...]:
+    """Pixel dims (T, H, W) of a clip in either accepted layout:
+    float CTHW (the reference's layout) or uint8 THWC (decoder output)."""
+    if vid.dtype == np.uint8 and vid.ndim == 4 and vid.shape[-1] in (1, 3):
+        return tuple(vid.shape[:3])
+    return tuple(vid.shape[1:])
+
+
+def _video_rows(vid: np.ndarray, patch_size: Sequence[int]) -> np.ndarray:
+    """Patchified [-1,1] rows for a clip; uint8 THWC goes through the fused
+    C++ normalize+patchify kernel, float CTHW through numpy patchify."""
+    if vid.dtype == np.uint8 and vid.ndim == 4 and vid.shape[-1] in (1, 3):
+        try:
+            from titok_tpu.data.video_reader import patchify_normalize
+
+            return patchify_normalize(vid, patch_size)
+        except Exception:
+            vidf = vid.astype(np.float32).transpose(3, 0, 1, 2) / 255 * 2 - 1
+            return patchify(vidf, patch_size)
+    return patchify(np.asarray(vid), patch_size)
+
+
 def pack_samples(
     videos: Sequence[np.ndarray],
     token_counts: Sequence[int],
@@ -129,7 +151,8 @@ def pack_samples(
     n_dims = len(patch_size)
     B = len(videos)
     assert B == len(token_counts) and B <= max_samples, (B, max_samples)
-    c = videos[0].shape[0]
+    v0 = videos[0]
+    c = v0.shape[-1] if (v0.dtype == np.uint8 and v0.ndim == 4) else v0.shape[0]
     p_elems = int(math.prod(patch_size)) * c
 
     grids = np.zeros((max_samples, n_dims), dtype=np.int32)
@@ -148,7 +171,7 @@ def pack_samples(
     offset = 0
     for b, (vid, tc) in enumerate(zip(videos, token_counts)):
         tc = int(tc)
-        grid = [d // p for d, p in zip(vid.shape[1:], patch_size)]
+        grid = [d // p for d, p in zip(video_dims(vid), patch_size)]
         gs = int(math.prod(grid))
         end = offset + tc + gs
         assert end <= seq_len, f"packed length {end} exceeds budget {seq_len}"
@@ -162,7 +185,7 @@ def pack_samples(
 
         segment_ids[offset:end] = b + 1
         token_mask[offset : offset + tc] = True
-        patches[offset + tc : end] = patchify(np.asarray(vid), patch_size).astype(dtype)
+        patches[offset + tc : end] = _video_rows(vid, patch_size).astype(dtype)
         positions[offset:end] = positions_for_sample(grid, tc)
         offset = end
 
@@ -302,6 +325,7 @@ class Packer:
         dtype=np.float32,
         max_samples: int | None = None,
         rng: np.random.Generator | None = None,
+        flush_final: bool = False,
     ):
         self.seq_len = int(seq_len)
         self.token_range = (int(token_range[0]), int(token_range[1]))
@@ -312,6 +336,10 @@ class Packer:
             seq_len, min_grid, patch_size, self.token_range[0]
         )
         self.rng = rng or np.random.default_rng()
+        # the reference drops the partial final batch (fine for an infinite
+        # training stream, silently loses eval samples); eval passes
+        # flush_final=True to emit it
+        self.flush_final = flush_final
 
     def __call__(self, stream: Iterable[dict]) -> Iterator[PackedBatch]:
         videos: list[np.ndarray] = []
@@ -320,7 +348,7 @@ class Packer:
         cur = 0
         for sample in stream:
             vid = sample["video"]
-            gs = math.prod(d // p for d, p in zip(vid.shape[1:], self.patch_size))
+            gs = math.prod(d // p for d, p in zip(video_dims(vid), self.patch_size))
             tc = int(self.rng.integers(self.token_range[0], self.token_range[1] + 1))
             if cur + gs + tc > self.seq_len or len(videos) >= self.max_samples:
                 if videos:
@@ -334,3 +362,9 @@ class Packer:
             videos.append(vid)
             tcs.append(tc)
             fps.append(float(sample.get("fps", 0.0)))
+        if self.flush_final and videos:
+            yield pack_samples(
+                videos, tcs, seq_len=self.seq_len,
+                max_samples=self.max_samples, patch_size=self.patch_size,
+                head_dim=self.head_dim, fps=fps, dtype=self.dtype,
+            )

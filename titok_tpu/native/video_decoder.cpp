@@ -229,10 +229,20 @@ int vd_get_batch(VDContext* ctx, const int64_t* indices, int n, uint8_t* out,
                            : frame->pts;
         cur_decoded_pts = fpts;
         if (fpts >= target_pts) {
-          uint8_t* planes[1] = {dst};
-          int strides[1] = {ctx->width * 3};
+          // sws_scale's SIMD paths can write past an unpadded stride; go
+          // through an aligned scratch image and copy rows out.
+          uint8_t* planes[4] = {nullptr};
+          int strides[4] = {0};
+          av_image_alloc(planes, strides, ctx->width, ctx->height,
+                         AV_PIX_FMT_RGB24, 64);
           sws_scale(ctx->sws, frame->data, frame->linesize, 0, ctx->height,
                     planes, strides);
+          for (int y = 0; y < ctx->height; ++y) {
+            std::memcpy(dst + static_cast<size_t>(y) * ctx->width * 3,
+                        planes[0] + static_cast<size_t>(y) * strides[0],
+                        static_cast<size_t>(ctx->width) * 3);
+          }
+          av_freep(&planes[0]);
           av_frame_unref(frame);
           return 0;
         }
