@@ -42,6 +42,11 @@ def ssim_image(x: np.ndarray, y: np.ndarray, data_range: float = 2.0,
     """SSIM of one CHW image pair, valid-window gaussian."""
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
+    # shrink the window for images smaller than the kernel (torchmetrics
+    # errors there; we degrade gracefully for tiny eval clips)
+    min_dim = min(x.shape[-2:])
+    if min_dim < kernel_size:
+        kernel_size = min_dim if min_dim % 2 == 1 else min_dim - 1
     k = _gaussian_kernel1d(kernel_size, sigma)
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2

@@ -27,6 +27,15 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def _flash_available() -> bool:
+    try:
+        from titok_tpu.ops.flash_attention import flash_segment_attention  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def segment_attention_reference(
     q: jnp.ndarray,  # [S, Hq, D]
     k: jnp.ndarray,  # [S, Hkv, D]
@@ -71,7 +80,10 @@ def segment_attention(
     or 'reference'.
     """
     if impl == "auto":
-        impl = "flash" if jax.default_backend() == "tpu" else "reference"
+        if jax.default_backend() == "tpu" and _flash_available():
+            impl = "flash"
+        else:
+            impl = "reference"
     if impl == "flash":
         from titok_tpu.ops.flash_attention import flash_segment_attention
 

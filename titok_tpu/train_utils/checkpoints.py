@@ -66,9 +66,13 @@ def restore_weights_only(path: str, state: Any) -> Any:
     """init_from_checkpoint mode: load gen (+disc if present) params from a
     checkpoint directory into an existing TrainState, keeping optimizer
     state and step fresh (ref ``train.py:265-267``, strict=False)."""
+    path = os.path.abspath(path)
+    # CheckpointManager writes items under <step>/default/
+    if os.path.isdir(os.path.join(path, "default")):
+        path = os.path.join(path, "default")
     ckptr = ocp.StandardCheckpointer()
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, state)
-    loaded = ckptr.restore(os.path.abspath(path), abstract)
+    loaded = ckptr.restore(path, abstract)
     return state.replace(
         gen_params=loaded.gen_params,
         disc_params=loaded.disc_params,

@@ -1,0 +1,226 @@
+"""Training orchestration (replacement for the reference's Lightning
+``TitokTrainer`` + ``L.Trainer``, reference ``train.py:27-286``).
+
+The host loop is thin by design: everything per-step is inside one jitted
+program (see ``train_step.py``); the host packs batches (in a prefetch
+thread), feeds device buffers, logs scalars, runs periodic eval and
+checkpoints. Multi-chip runs shard the same step over a ``Mesh``
+(``titok_tpu/parallel``) — the loop here is identical.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+from titok_tpu.data.packing import (
+    PackedBatch,
+    build_disc_batch,
+    unpack_indices,
+    unpack_videos,
+)
+from titok_tpu.data.prefetch import PrefetchLoader
+from titok_tpu.losses.loss_module import LossSystem
+from titok_tpu.losses.lpips import load_lpips_params
+from titok_tpu.metrics.eval_metrics import EvalMetrics
+from titok_tpu.models.titok import make_titok
+from titok_tpu.ops.frames import build_perceptual_plan
+from titok_tpu.train_utils.checkpoints import CheckpointManager, restore_weights_only
+from titok_tpu.train_utils.codebook_logging import CodebookLogger
+from titok_tpu.train_utils.logging import MetricsLogger
+from titok_tpu.training.train_step import TrainStepBuilder
+
+
+def select_data_backend(config):
+    """Dataset backend by file extension (reference ``train.py:254-261``)."""
+    path = str(config.dataset.train_dataset)
+    ext = path[-4:]
+    if config.dataset.eval_dataset:
+        assert str(config.dataset.eval_dataset)[-4:] == ext, (
+            "train and eval datasets must share format"
+        )
+    if ext == ".tar":
+        from titok_tpu.data.wds_dataset import wds_batches
+
+        return wds_batches
+    if ext == ".csv":
+        from titok_tpu.data.csv_dataset import csv_batches
+
+        return csv_batches
+    raise ValueError(f"Unsupported dataset format: {ext}")
+
+
+class Trainer:
+    def __init__(self, config, batches_fn=None):
+        self.config = config
+        self.model = make_titok(config)
+        self.loss_system = LossSystem(config)
+        self.builder = TrainStepBuilder(self.model, self.loss_system, config)
+        self.eval_metrics = EvalMetrics(config)
+        self.patch_size = list(config.tokenizer.model.patch_size)
+
+        ce = config.training.eval
+        self.codebook_logger = (
+            CodebookLogger(math.prod(config.tokenizer.model.fsq_levels))
+            if ce.log_codebook else None
+        )
+
+        gw = config.general.wandb
+        self.logger = MetricsLogger(
+            out_dir=config.general.checkpoints.get("save_path", "out_ckpt"),
+            project=gw.get("project", ""), run_name=gw.get("run_name", ""),
+        )
+        self.ckpt = CheckpointManager(
+            config.general.checkpoints.get("save_path", "out_ckpt"),
+            save_interval=int(config.general.checkpoints.get("save_interval", 1000)),
+            keep=config.general.checkpoints.get("keep_prior", 2),
+        )
+        self.batches_fn = batches_fn or select_data_backend(config)
+        self.lpips_params = (
+            load_lpips_params() if self.loss_system.use_perceptual else {}
+        )
+        self.max_grid = list(config.training.sampling.max_grid)
+
+    # -- extras built in the prefetch thread ------------------------------
+    def _build_extras(self, batch: PackedBatch, rng: np.random.Generator) -> dict:
+        extras = {}
+        if self.loss_system.use_disc:
+            extras["disc"] = build_disc_batch(batch, self.loss_system.disc_tokens)
+        if self.loss_system.use_perceptual:
+            extras["perc"] = build_perceptual_plan(
+                batch,
+                num_frames=self.loss_system.num_frames,
+                sample_size=self.loss_system.sample_size,
+                patch_size=self.patch_size,
+                max_grid_hw=self.max_grid[1:],
+                rng=rng,
+            )
+        return extras
+
+    def _init_state(self, seed: int):
+        """Initialize (or restore) train state from one probe batch."""
+        probe = next(iter(self.batches_fn(self.config, eval=False, seed=seed)))
+        extras = self._build_extras(probe, np.random.default_rng(seed))
+        disc_arrs = (
+            extras["disc"].device_arrays() if "disc" in extras else None
+        )
+        state = self.builder.init_state(
+            jax.random.PRNGKey(seed), probe.device_arrays(), disc_arrs
+        )
+
+        ckpt_conf = self.config.general.checkpoints
+        resume = ckpt_conf.get("resume_from_checkpoint", None)
+        init = ckpt_conf.get("init_from_checkpoint", None)
+        assert not (resume and init), (
+            "Only one of resume_from_checkpoint and init_from_checkpoint "
+            "should be specified."
+        )
+        if resume:
+            state = self.ckpt.restore(state)
+            print(f"resumed from step {int(state.step)}")
+        elif init:
+            state = restore_weights_only(init, state)
+            print("initialized weights from checkpoint")
+        return state
+
+    def fit(self):
+        cfg = self.config
+        cm = cfg.training.main
+        max_steps = int(cm.max_steps)
+        log_every = int(cfg.general.wandb.get("log_step_interval", 50))
+        eval_every = int(cfg.training.eval.get("eval_step_interval", 1000))
+        seed = int(cm.get("seed", 0))
+
+        state = self._init_state(seed)
+        train_step = jax.jit(self.builder.make_train_step(self.lpips_params),
+                             donate_argnums=(0,))
+        self._eval_step = jax.jit(self.builder.make_eval_step())
+
+        extras_rng = np.random.default_rng(seed + 1)
+        loader = PrefetchLoader(
+            lambda: self.batches_fn(self.config, eval=False, seed=seed),
+            build_extras=lambda b: self._build_extras(b, extras_rng),
+        )
+
+        t_last = time.time()
+        tokens_since = 0
+        for dev_batch, batch, dev_extras in loader:
+            step_num = int(state.step)
+            if step_num >= max_steps:
+                break
+            state, metrics, indices = train_step(
+                state, dev_batch, dev_extras.get("disc"), dev_extras.get("perc")
+            )
+            tokens_since += batch.seq_len
+
+            if self.codebook_logger is not None:
+                idx_host = np.asarray(indices)
+                self.codebook_logger(unpack_indices(idx_host, batch))
+
+            if step_num % log_every == 0:
+                scalars = {"train/" + k: v for k, v in metrics.items()}
+                dt = time.time() - t_last
+                scalars["perf/tokens_per_sec"] = tokens_since / max(dt, 1e-9)
+                t_last, tokens_since = time.time(), 0
+                self.logger.log_metrics(scalars, step_num)
+                self.logger.log_console(scalars, step_num)
+
+            if eval_every and step_num > 0 and step_num % eval_every == 0:
+                self.validate(state, step_num)
+
+            self.ckpt.maybe_save(step_num, state)
+
+        self.ckpt.save(int(state.step), state)
+        self.ckpt.wait()
+        return state
+
+    # -- validation (reference train.py:118-163) ---------------------------
+    def validate(self, state, step_num: int):
+        ce = self.config.training.eval
+        num_recon = int(ce.get("log_recon_num", 0))
+        eval_samples = int(ce.get("eval_samples", 256))
+        if ce.get("random_recon", False):
+            recon_indexes = set(
+                np.random.default_rng(step_num)
+                .permutation(eval_samples)[:num_recon].tolist()
+            )
+        else:
+            recon_indexes = set(range(num_recon))
+
+        seen = 0
+        shown = 0
+        for batch in self.batches_fn(self.config, eval=True, seed=0):
+            recon_rows, _ = self._eval_step(state.gen_params, batch.device_arrays())
+            recon = unpack_videos(
+                np.asarray(recon_rows, np.float32), batch, self.patch_size
+            )
+            target = unpack_videos(
+                np.asarray(batch.patches, np.float32), batch, self.patch_size
+            )
+            self.eval_metrics.update(recon, target)
+
+            for i, (x, y) in enumerate(zip(recon, target)):
+                if seen in recon_indexes:
+                    shown += 1
+                    merged = np.concatenate(
+                        [y, np.clip(x, -1, 1)], axis=-1
+                    ).transpose(1, 2, 3, 0)  # CTHW -> THWC, W-concat
+                    merged = ((merged + 1) / 2 * 255).astype(np.uint8)
+                    self.logger.log_video(
+                        f"Video recon {shown}", merged, step_num,
+                        fps=float(batch.fps[i]) or 4,
+                        caption=f"{int(batch.token_counts[i])} tokens",
+                    )
+                seen += 1
+
+        scores = self.eval_metrics.compute()
+        self.eval_metrics.reset()
+        self.logger.log_metrics(scores, step_num)
+        self.logger.log_console(scores, step_num)
+        if self.codebook_logger is not None and self.codebook_logger.is_score_ready():
+            self.logger.log_metrics(self.codebook_logger.get_scores(), step_num)

@@ -1,0 +1,33 @@
+"""Train a TiTok-Video tokenizer on TPU.
+
+Reference-compatible CLI (reference ``train.py:223-286``):
+
+    python train.py config=configs/tiny.yaml [dotted.overrides=...]
+
+e.g.  python train.py config=configs/tiny_csv.yaml \\
+          optimizer.learning_rate=3e-4 training.main.max_steps=1000
+"""
+
+import sys
+
+import numpy as np
+
+from titok_tpu.config import config_from_cli
+
+
+def main(argv):
+    config = config_from_cli(argv)
+    np.random.seed(int(config.training.main.get("seed", 0)))
+
+    devices = int(config.training.main.get("train_devices", 1))
+    if devices > 1:
+        from titok_tpu.parallel.trainer import DataParallelTrainer as TrainerCls
+    else:
+        from titok_tpu.training.trainer import Trainer as TrainerCls
+
+    trainer = TrainerCls(config)
+    trainer.fit()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
