@@ -1,0 +1,97 @@
+"""Pallas flash segment attention vs dense reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from titok_tpu.ops.attention import segment_attention_reference
+from titok_tpu.ops.flash_attention import flash_segment_attention
+
+
+def _inputs(rng, S=256, Hq=4, Hkv=2, D=64, dtype=np.float32, segs=(100, 60, 40)):
+    q = rng.normal(size=(S, Hq, D)).astype(dtype)
+    k = rng.normal(size=(S, Hkv, D)).astype(dtype)
+    v = rng.normal(size=(S, Hkv, D)).astype(dtype)
+    seg = np.zeros((S,), np.int32)
+    off = 0
+    for i, n in enumerate(segs):
+        seg[off : off + n] = i + 1
+        off += n
+    return q, k, v, seg
+
+
+def _flash(q, k, v, seg, block=128):
+    with pltpu.force_tpu_interpret_mode():
+        return flash_segment_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(seg),
+            block_q=block, block_k=block,
+        )
+
+
+def test_forward_matches_dense(rng):
+    q, k, v, seg = _inputs(rng)
+    out = np.asarray(_flash(q, k, v, seg))
+    exp = np.asarray(segment_attention_reference(q, k, v, seg))
+    np.testing.assert_allclose(out, exp, atol=2e-5)
+
+
+def test_forward_single_segment(rng):
+    q, k, v, seg = _inputs(rng, segs=(256,))
+    out = np.asarray(_flash(q, k, v, seg))
+    exp = np.asarray(segment_attention_reference(q, k, v, seg))
+    np.testing.assert_allclose(out, exp, atol=2e-5)
+
+
+def test_forward_many_small_segments(rng):
+    q, k, v, seg = _inputs(rng, segs=tuple([16] * 12))  # 64 pad slots
+    out = np.asarray(_flash(q, k, v, seg))
+    exp = np.asarray(segment_attention_reference(q, k, v, seg))
+    np.testing.assert_allclose(out, exp, atol=2e-5)
+
+
+def test_forward_bf16(rng):
+    q, k, v, seg = _inputs(rng)
+    qb = jnp.asarray(q, jnp.bfloat16)
+    kb = jnp.asarray(k, jnp.bfloat16)
+    vb = jnp.asarray(v, jnp.bfloat16)
+    out = np.asarray(_flash(qb, kb, vb, seg), np.float32)
+    exp = np.asarray(
+        segment_attention_reference(qb, kb, vb, jnp.asarray(seg)), np.float32
+    )
+    np.testing.assert_allclose(out, exp, atol=3e-2, rtol=3e-2)
+
+
+def test_gradients_match_dense(rng):
+    q, k, v, seg = _inputs(rng, S=128, segs=(50, 40))
+
+    def loss_flash(q, k, v):
+        o = flash_segment_attention(q, k, v, jnp.asarray(seg),
+                                    block_q=64, block_k=64)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    def loss_dense(q, k, v):
+        o = segment_attention_reference(q, k, v, jnp.asarray(seg))
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+        )
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    )
+    for a, b, name in zip(gf, gd, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3,
+        ), name
+
+
+def test_block_skipping_does_not_change_result(rng):
+    """Different block sizes (=> different skip patterns) same answer."""
+    q, k, v, seg = _inputs(rng)
+    a = np.asarray(_flash(q, k, v, seg, block=128))
+    b = np.asarray(_flash(q, k, v, seg, block=64))
+    np.testing.assert_allclose(a, b, atol=2e-5)
