@@ -1,0 +1,113 @@
+"""EMA-VQ quantizer + Pallas nearest-neighbor kernel tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from tests.util import PATCH, synthetic_videos, tiny_config
+from titok_tpu.models.vq import EMAVQ, init_vq_state
+from titok_tpu.ops.vq_distance import vq_nearest_pallas, vq_nearest_reference
+
+
+def test_pallas_nearest_matches_reference(rng):
+    S, D, N = 512, 8, 2048
+    z = rng.normal(size=(S, D)).astype(np.float32)
+    cb = rng.normal(size=(N, D)).astype(np.float32)
+    ref_idx, _ = vq_nearest_reference(jnp.asarray(z), jnp.asarray(cb))
+    with pltpu.force_tpu_interpret_mode():
+        pal_idx, _ = vq_nearest_pallas(jnp.asarray(z), jnp.asarray(cb))
+    np.testing.assert_array_equal(np.asarray(pal_idx), np.asarray(ref_idx))
+
+
+def test_nearest_is_actually_nearest(rng):
+    z = rng.normal(size=(64, 4)).astype(np.float32)
+    cb = rng.normal(size=(128, 4)).astype(np.float32)
+    idx, _ = vq_nearest_reference(jnp.asarray(z), jnp.asarray(cb))
+    d = ((z[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_array_equal(np.asarray(idx), d.argmin(1))
+
+
+def test_straight_through_and_commit(rng):
+    vq = EMAVQ(64, 4, impl="reference")
+    state = init_vq_state(jax.random.PRNGKey(0), 64, 4)
+    z = jnp.asarray(rng.normal(size=(32, 4)).astype(np.float32))
+
+    def loss(z):
+        codes, aux = vq(z, state)
+        return (codes**2).sum() + aux["commit_loss"]
+
+    g = jax.grad(loss)(z)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
+
+    codes, aux = vq(z, state)
+    # quantized values are codebook entries
+    np.testing.assert_allclose(
+        np.asarray(codes), np.asarray(state.codebook[aux["indices"]]), atol=1e-6
+    )
+
+
+def test_ema_update_moves_codebook_to_data(rng):
+    """Codes repeatedly assigned data converge toward the data mean."""
+    vq = EMAVQ(8, 2, decay=0.5, impl="reference")
+    state = init_vq_state(jax.random.PRNGKey(0), 8, 2)
+    target = np.array([5.0, -5.0], np.float32)
+    z = jnp.asarray(np.tile(target, (64, 1)) + 0.01)
+    for _ in range(20):
+        _, aux = vq(z, state)
+        state = vq.ema_update(state, aux["vq_counts"], aux["vq_sums"])
+    winner = int(np.asarray(aux["indices"])[0])
+    np.testing.assert_allclose(
+        np.asarray(state.codebook[winner]), target, atol=0.1
+    )
+
+
+def test_dead_code_reinit(rng):
+    vq = EMAVQ(16, 2, decay=0.0, dead_threshold=0.5, impl="reference")
+    state = init_vq_state(jax.random.PRNGKey(0), 16, 2)
+    z = jnp.asarray(np.tile([3.0, 3.0], (32, 1)).astype(np.float32))
+    _, aux = vq(z, state)
+    new = vq.ema_update(state, aux["vq_counts"], aux["vq_sums"],
+                        rng=jax.random.PRNGKey(1), batch_z=z)
+    # all dead codes were reseeded from the batch (all ~[3,3])
+    dead_before = np.asarray(aux["vq_counts"]) == 0
+    np.testing.assert_allclose(
+        np.asarray(new.codebook)[dead_before],
+        np.tile([3.0, 3.0], (dead_before.sum(), 1)), atol=1e-5,
+    )
+    assert float(vq.dead_code_fraction(new)) == 0.0
+
+
+def test_titok_vq_end_to_end_step(rng):
+    """Full train step with the VQ family: runs, finite, EMA state moves."""
+    from titok_tpu.data.packing import pack_samples
+    from titok_tpu.losses.loss_module import LossSystem
+    from titok_tpu.models.titok import make_titok
+    from titok_tpu.training.train_step import TrainStepBuilder
+
+    cfg = tiny_config(**{
+        "tokenizer.model.quantizer": "vq",
+        "tokenizer.model.vq": {"codebook_size": 256, "dim": 4},
+    })
+    model = make_titok(cfg)
+    assert model.token_size == 4 and model.codebook_size == 256
+    ls = LossSystem(cfg)
+    builder = TrainStepBuilder(model, ls, cfg)
+
+    vids = synthetic_videos(rng, 2)
+    batch = pack_samples(vids, [3, 5], seq_len=128, max_samples=4,
+                         patch_size=PATCH)
+    arrs = batch.device_arrays()
+    state = builder.init_state(jax.random.PRNGKey(0), arrs, None)
+    step = jax.jit(builder.make_train_step({}))
+
+    cb0 = np.asarray(state.vq_state.codebook).copy()
+    state, metrics, indices = step(state, arrs, None, None)
+    assert np.isfinite(float(metrics["gen/total_loss"]))
+    assert "gen/commit_loss" in metrics and "gen/vq_perplexity" in metrics
+    assert "vq/dead_code_fraction" in metrics
+    assert (np.asarray(indices) < 256).all()
+    assert not np.allclose(np.asarray(state.vq_state.codebook), cb0)

@@ -51,10 +51,23 @@ class TiTok(nn.Module):
     in_channels: int = 3
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    # quantizer family: 'fsq' (reference default) or 'vq' (EMA-VQ with the
+    # Pallas nearest-neighbor kernel, titok_tpu/models/vq.py)
+    quantizer: str = "fsq"
+    vq_codebook_size: int = 16384
+    vq_dim: int = 8
+    vq_commitment_weight: float = 0.25
+    vq_decay: float = 0.99
 
     @property
     def token_size(self) -> int:
-        return len(self.fsq_levels)
+        return (len(self.fsq_levels) if self.quantizer == "fsq"
+                else self.vq_dim)
+
+    @property
+    def codebook_size(self) -> int:
+        return (int(np.prod(self.fsq_levels)) if self.quantizer == "fsq"
+                else self.vq_codebook_size)
 
     def setup(self):
         self.encoder = PackedEncoder(
@@ -66,7 +79,16 @@ class TiTok(nn.Module):
             attn_impl=self.attn_impl,
             name="encoder",
         )
-        self.quantize = FSQ(self.fsq_levels)
+        if self.quantizer == "fsq":
+            self.quantize = FSQ(self.fsq_levels)
+        else:
+            from titok_tpu.models.vq import EMAVQ
+
+            self.quantize = EMAVQ(
+                self.vq_codebook_size, self.vq_dim,
+                commitment_weight=self.vq_commitment_weight,
+                decay=self.vq_decay,
+            )
         self.decoder = PackedDecoder(
             model_size=self.decoder_size,
             patch_size=tuple(self.patch_size),
@@ -78,18 +100,29 @@ class TiTok(nn.Module):
         )
 
     # -- packed (jittable) API -------------------------------------------
-    def encode_packed(self, batch: dict) -> tuple[jnp.ndarray, dict]:
+    def encode_packed(self, batch: dict, vq_state=None) -> tuple[jnp.ndarray, dict]:
         """[S,P] patches -> ([S, token_size] quantized codes, {'indices': [S]}).
 
         Valid at token slots only (ref ``titok.py:47-52``); other rows carry
         garbage that downstream masks out. FSQ runs at every slot to keep the
         shape static — elementwise, so the cost is negligible.
+
+        For the EMA-VQ family, pass the ``VQState`` (codebook + EMA stats);
+        the aux dict then also carries ``commit_loss``, EMA batch stats, and
+        ``perplexity``.
         """
         z = self.encoder(
             batch["patches"], batch["token_mask"], batch["segment_ids"],
             batch["rope_cos"], batch["rope_sin"],
         )
-        codes, aux = self.quantize(z)
+        if self.quantizer == "fsq":
+            codes, aux = self.quantize(z)
+        else:
+            assert vq_state is not None, "EMA-VQ needs a VQState"
+            codes, aux = self.quantize(
+                z, vq_state, weights=batch["token_mask"]
+            )
+            aux["z"] = jax.lax.stop_gradient(z.astype(jnp.float32))
         return codes, aux
 
     def decode_packed(self, codes: jnp.ndarray, batch: dict) -> jnp.ndarray:
@@ -99,13 +132,19 @@ class TiTok(nn.Module):
             batch["rope_cos"], batch["rope_sin"],
         )
 
-    def decode_indices_packed(self, indices: jnp.ndarray, batch: dict) -> jnp.ndarray:
+    def decode_indices_packed(self, indices: jnp.ndarray, batch: dict,
+                              vq_state=None) -> jnp.ndarray:
         """int32 [S] codebook ids -> [S, C*prod(patch)] (ref ``titok.py:54-62``)."""
-        codes = self.quantize.indices_to_codes(indices).astype(self.dtype)
+        if self.quantizer == "fsq":
+            codes = self.quantize.indices_to_codes(indices).astype(self.dtype)
+        else:
+            codes = self.quantize.indices_to_codes(indices, vq_state).astype(
+                self.dtype
+            )
         return self.decode_packed(codes, batch)
 
-    def __call__(self, batch: dict) -> tuple[jnp.ndarray, dict]:
-        codes, aux = self.encode_packed(batch)
+    def __call__(self, batch: dict, vq_state=None) -> tuple[jnp.ndarray, dict]:
+        codes, aux = self.encode_packed(batch, vq_state)
         recon = self.decode_packed(codes, batch)
         return recon, aux
 
@@ -117,6 +156,7 @@ def make_titok(config) -> TiTok:
     dtype = {"bf16": jnp.bfloat16, "16": jnp.float16, "32": jnp.float32}[
         precision.split("-")[0]
     ]
+    vq = tm.get("vq", {}) or {}
     return TiTok(
         patch_size=tuple(tm.patch_size),
         fsq_levels=tuple(tm.fsq_levels),
@@ -124,6 +164,11 @@ def make_titok(config) -> TiTok:
         decoder_size=tm.decoder_size,
         dtype=dtype,
         attn_impl=str(config.training.main.get("attn_impl", "auto")),
+        quantizer=str(tm.get("quantizer", "fsq")),
+        vq_codebook_size=int(vq.get("codebook_size", 16384)),
+        vq_dim=int(vq.get("dim", 8)),
+        vq_commitment_weight=float(vq.get("commitment_weight", 0.25)),
+        vq_decay=float(vq.get("decay", 0.99)),
     )
 
 

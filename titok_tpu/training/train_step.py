@@ -39,6 +39,7 @@ class TrainState(struct.PyTreeNode):
     disc_params: Any
     disc_opt: Any
     rng: jnp.ndarray
+    vq_state: Any = ()  # VQState for the EMA-VQ quantizer family; () for FSQ
 
 
 @dataclasses.dataclass
@@ -81,8 +82,15 @@ class TrainStepBuilder:
     def init_state(self, rng, batch, disc) -> TrainState:
         """Initialize params + optimizer states from a sample batch."""
         self.make_optimizers()
-        k_gen, k_disc, k_state = jax.random.split(rng, 3)
-        gen_params = self.model.init(k_gen, batch)["params"]
+        k_gen, k_disc, k_vq, k_state = jax.random.split(rng, 4)
+        vq_state = ()
+        if getattr(self.model, "quantizer", "fsq") == "vq":
+            from titok_tpu.models.vq import init_vq_state
+
+            vq_state = init_vq_state(
+                k_vq, self.model.vq_codebook_size, self.model.vq_dim
+            )
+        gen_params = self.model.init(k_gen, batch, vq_state or None)["params"]
         if self.loss_system.use_disc:
             disc_params = self.loss_system.init_disc_params(k_disc, batch, disc)
             disc_opt = self.disc_tx.init(disc_params)
@@ -96,6 +104,7 @@ class TrainStepBuilder:
             disc_params=disc_params,
             disc_opt=disc_opt,
             rng=k_state,
+            vq_state=vq_state,
         )
 
     def make_train_step(self, lpips_params) -> Callable:
@@ -109,11 +118,27 @@ class TrainStepBuilder:
         gen_tx, disc_tx = self.gen_tx, self.disc_tx
         gen_sched, disc_sched = self.gen_sched, self.disc_sched
 
-        def gen_loss_fn(gen_params, disc_params, batch, disc, perc):
-            recon, aux = model.apply({"params": gen_params}, batch)
+        vq_codec = None
+        if getattr(model, "quantizer", "fsq") == "vq":
+            from titok_tpu.models.vq import EMAVQ
+
+            vq_codec = EMAVQ(
+                model.vq_codebook_size, model.vq_dim,
+                commitment_weight=model.vq_commitment_weight,
+                decay=model.vq_decay,
+            )
+
+        def gen_loss_fn(gen_params, disc_params, batch, disc, perc, vq_state):
+            recon, aux = model.apply(
+                {"params": gen_params}, batch, vq_state or None
+            )
             loss, loss_dict = ls.generator_loss(
                 lpips_params, disc_params, recon, batch, disc, perc
             )
+            if "commit_loss" in aux:  # EMA-VQ commitment term
+                loss = loss + aux["commit_loss"]
+                loss_dict["gen/commit_loss"] = aux["commit_loss"]
+                loss_dict["gen/vq_perplexity"] = aux["perplexity"]
             return loss, (recon, aux, loss_dict)
 
         def disc_loss_fn(disc_params, recon, batch, disc, rng):
@@ -121,17 +146,29 @@ class TrainStepBuilder:
 
         def train_step(state: TrainState, batch, disc, perc):
             metrics = {}
-            rng, noise_key = jax.random.split(state.rng)
+            rng, noise_key, vq_key = jax.random.split(state.rng, 3)
 
             # -- generator update (ref train.py:64-84) ----------------------
             grads, (recon, aux, loss_dict) = jax.grad(
                 gen_loss_fn, has_aux=True
-            )(state.gen_params, state.disc_params, batch, disc, perc)
+            )(state.gen_params, state.disc_params, batch, disc, perc,
+              state.vq_state)
             metrics.update(loss_dict)
             metrics["grad_norm/generator"] = optax.global_norm(grads)
             updates, gen_opt = gen_tx.update(grads, state.gen_opt, state.gen_params)
             gen_params = optax.apply_updates(state.gen_params, updates)
             metrics["g_lr"] = gen_sched(state.step)
+
+            # -- EMA codebook update (VQ family only) -----------------------
+            vq_state = state.vq_state
+            if vq_codec is not None:
+                vq_state = vq_codec.ema_update(
+                    state.vq_state, aux["vq_counts"], aux["vq_sums"],
+                    rng=vq_key, batch_z=aux["z"],
+                )
+                metrics["vq/dead_code_fraction"] = vq_codec.dead_code_fraction(
+                    vq_state
+                )
 
             # -- discriminator update (ref train.py:88-108) -----------------
             disc_params, disc_opt = state.disc_params, state.disc_opt
@@ -155,6 +192,7 @@ class TrainStepBuilder:
                 disc_params=disc_params,
                 disc_opt=disc_opt,
                 rng=rng,
+                vq_state=vq_state,
             )
             return new_state, metrics, aux["indices"]
 
@@ -163,8 +201,8 @@ class TrainStepBuilder:
     def make_eval_step(self) -> Callable:
         model = self.model
 
-        def eval_step(gen_params, batch):
-            recon, aux = model.apply({"params": gen_params}, batch)
+        def eval_step(gen_params, batch, vq_state=None):
+            recon, aux = model.apply({"params": gen_params}, batch, vq_state)
             return recon, aux["indices"]
 
         return eval_step

@@ -66,7 +66,7 @@ class Trainer:
 
         ce = config.training.eval
         self.codebook_logger = (
-            CodebookLogger(math.prod(config.tokenizer.model.fsq_levels))
+            CodebookLogger(self.model.codebook_size)
             if ce.log_codebook else None
         )
 
@@ -195,7 +195,9 @@ class Trainer:
         seen = 0
         shown = 0
         for batch in self.batches_fn(self.config, eval=True, seed=0):
-            recon_rows, _ = self._eval_step(state.gen_params, batch.device_arrays())
+            recon_rows, _ = self._eval_step(
+                state.gen_params, batch.device_arrays(), state.vq_state or None
+            )
             recon = unpack_videos(
                 np.asarray(recon_rows, np.float32), batch, self.patch_size
             )
