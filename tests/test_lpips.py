@@ -1,0 +1,118 @@
+"""LPIPS-JAX golden parity vs a torch mirror of the reference
+``model/metrics/lpips_gram.py`` math, sharing (random) weights through the
+converter tool."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+
+from titok_tpu.losses.lpips import LPIPS, load_lpips_params
+
+TORCH_CONV_IDX = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+VGG_CH = [3, 64, 64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512]
+CHNS = [64, 128, 256, 512, 512]
+
+
+def _fake_torch_weights(rng):
+    """Random torch-layout VGG16 features + LPIPS lin state dicts."""
+    feats = {}
+    in_ch = 3
+    out_chs = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]
+    for ti, oc in zip(TORCH_CONV_IDX, out_chs):
+        feats[f"{ti}.weight"] = torch.from_numpy(
+            rng.normal(scale=0.05, size=(oc, in_ch, 3, 3)).astype(np.float32)
+        )
+        feats[f"{ti}.bias"] = torch.from_numpy(
+            rng.normal(scale=0.01, size=(oc,)).astype(np.float32)
+        )
+        in_ch = oc
+    lins = {}
+    for k, c in enumerate(CHNS):
+        lins[f"lin{k}.model.1.weight"] = torch.from_numpy(
+            np.abs(rng.normal(scale=0.1, size=(1, c, 1, 1))).astype(np.float32)
+        )
+    return feats, lins
+
+
+def _torch_lpips(feats_sd, lins_sd, x_nchw, y_nchw):
+    """Reference LPIPS+gram math (lpips_gram.py:154-212) in plain torch."""
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+    def vgg_slices(x):
+        outs = []
+        h = x
+        slice_after = {1, 3, 6, 9, 12}
+        ci = 0
+        pool_after_conv = {1, 3, 6, 9}  # maxpool follows these conv indices
+        for ti in TORCH_CONV_IDX:
+            h = F.conv2d(h, feats_sd[f"{ti}.weight"], feats_sd[f"{ti}.bias"],
+                         padding=1)
+            h = F.relu(h)
+            if ci in slice_after:
+                outs.append(h)
+            if ci in pool_after_conv:
+                h = F.max_pool2d(h, 2, 2)
+            ci += 1
+        return outs
+
+    def norm(t, eps=1e-10):
+        n = torch.sqrt(torch.sum(t**2, dim=1, keepdim=True) + eps)
+        return t / (n + eps)
+
+    x = (x_nchw - shift) / scale
+    y = (y_nchw - shift) / scale
+    fx, fy = vgg_slices(x), vgg_slices(y)
+
+    lp = 0
+    grams = []
+    for k in range(5):
+        d = (norm(fx[k]) - norm(fy[k])) ** 2
+        w = lins_sd[f"lin{k}.model.1.weight"]
+        lp = lp + F.conv2d(d, w).mean(dim=(2, 3), keepdim=True)
+        B, C, H, W = fx[k].shape
+        gx = torch.bmm(fx[k].view(B, C, H * W), fx[k].view(B, C, H * W).transpose(1, 2)) / (H * W)
+        gy = torch.bmm(fy[k].view(B, C, H * W), fy[k].view(B, C, H * W).transpose(1, 2)) / (H * W)
+        grams.append(F.mse_loss(gx, gy, reduction="none").view(B, -1).mean(-1))
+    lp = lp.view(x.shape[0], -1).mean(-1)
+    gram = torch.stack(grams, -1).mean(-1)
+    return lp, gram
+
+
+def test_lpips_parity_via_converter(tmp_path, rng):
+    feats, lins = _fake_torch_weights(rng)
+    torch.save(feats, tmp_path / "vgg16.pth")
+    torch.save(lins, tmp_path / "vgg.pth")
+
+    from tools.convert_lpips import convert
+
+    out = str(tmp_path / "lpips.npz")
+    convert(str(tmp_path / "vgg16.pth"), str(tmp_path / "vgg.pth"), out)
+    params = load_lpips_params(out)
+
+    x = rng.uniform(-1, 1, size=(3, 32, 32, 3)).astype(np.float32)
+    y = rng.uniform(-1, 1, size=(3, 32, 32, 3)).astype(np.float32)
+
+    lp_j, gram_j = LPIPS().apply({"params": params}, x, y)
+
+    with torch.no_grad():
+        lp_t, gram_t = _torch_lpips(
+            feats, lins,
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            torch.from_numpy(y.transpose(0, 3, 1, 2)),
+        )
+    np.testing.assert_allclose(np.asarray(lp_j), lp_t.numpy(), atol=1e-4,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gram_j), gram_t.numpy(), rtol=2e-3)
+
+
+def test_lpips_fallback_random_init():
+    params = load_lpips_params("/nonexistent/path.npz")
+    x = np.zeros((1, 16, 16, 3), np.float32)
+    lp, gram = LPIPS().apply({"params": params}, x, x)
+    assert float(lp[0]) == 0.0 and float(gram[0]) == 0.0

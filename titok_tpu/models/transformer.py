@@ -37,6 +37,28 @@ from titok_tpu.ops.rmsnorm import RMSNorm
 dense_init = nn.initializers.normal(stddev=0.02)
 
 
+class SplitNorm(nn.Module):
+    """Per-slot-type RMSNorm weights (reference ``transformer.py:17-33``,
+    arXiv 2602.08626). Present in the reference but unused on its live path
+    — kept for parity; usable as a drop-in for the split pre-norms."""
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x, token_mask):
+        dim = x.shape[-1]
+        w_t = self.param("weight_t", nn.initializers.ones, (1, dim), jnp.float32)
+        w_p = self.param("weight_p", nn.initializers.ones, (1, dim), jnp.float32)
+        xf = x.astype(jnp.float32)
+        import jax
+
+        normed = xf * jax.lax.rsqrt(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) + self.eps
+        )
+        w = jnp.where(token_mask[:, None], w_t, w_p)
+        return (normed * w).astype(x.dtype)
+
+
 class Attn(nn.Module):
     dim: int
     heads: Sequence[int]  # [q_heads, kv_heads]

@@ -147,15 +147,30 @@ class Trainer:
             build_extras=lambda b: self._build_extras(b, extras_rng),
         )
 
+        from titok_tpu.train_utils.profiling import StepTimer, trace
+
+        profile_dir = cm.get("profile_dir", None)
+        profile_steps = cm.get("profile_steps", None)
+        timer = StepTimer()
+
         t_last = time.time()
         tokens_since = 0
         for dev_batch, batch, dev_extras in loader:
             step_num = int(state.step)
             if step_num >= max_steps:
                 break
+            if profile_dir and profile_steps and step_num == int(profile_steps):
+                import jax as _jax
+
+                _jax.profiler.start_trace(profile_dir)
             state, metrics, indices = train_step(
                 state, dev_batch, dev_extras.get("disc"), dev_extras.get("perc")
             )
+            if profile_dir and profile_steps and step_num == int(profile_steps) + 3:
+                import jax as _jax
+
+                _jax.profiler.stop_trace()
+            timer.tick()
             tokens_since += batch.seq_len
 
             if self.codebook_logger is not None:
@@ -166,6 +181,7 @@ class Trainer:
                 scalars = {"train/" + k: v for k, v in metrics.items()}
                 dt = time.time() - t_last
                 scalars["perf/tokens_per_sec"] = tokens_since / max(dt, 1e-9)
+                scalars.update(timer.stats())
                 t_last, tokens_since = time.time(), 0
                 self.logger.log_metrics(scalars, step_num)
                 self.logger.log_console(scalars, step_num)
