@@ -128,6 +128,24 @@ class TrainStepBuilder:
                 decay=model.vq_decay,
             )
 
+        # per-parameter L2 grad norms (ref logs lightning grad_norm every
+        # eval interval, train.py:78-79,102-103); static config flag
+        log_param_norms = bool(
+            self.config.training.eval.get("log_grad_norms", False)
+        )
+
+        def _param_norms(grads, prefix):
+            flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+            out = {}
+            for path, leaf in flat:
+                name = "/".join(
+                    getattr(p, "key", str(p)) for p in path
+                )
+                out[f"grad_2.0_norm/{prefix}{name}"] = jnp.sqrt(
+                    jnp.sum(leaf.astype(jnp.float32) ** 2)
+                )
+            return out
+
         def gen_loss_fn(gen_params, disc_params, batch, disc, perc, vq_state):
             recon, aux = model.apply(
                 {"params": gen_params}, batch, vq_state or None
@@ -155,6 +173,8 @@ class TrainStepBuilder:
               state.vq_state)
             metrics.update(loss_dict)
             metrics["grad_norm/generator"] = optax.global_norm(grads)
+            if log_param_norms:
+                metrics.update(_param_norms(grads, "model/"))
             updates, gen_opt = gen_tx.update(grads, state.gen_opt, state.gen_params)
             gen_params = optax.apply_updates(state.gen_params, updates)
             metrics["g_lr"] = gen_sched(state.step)
@@ -179,6 +199,8 @@ class TrainStepBuilder:
                 )
                 metrics.update(d_dict)
                 metrics["grad_norm/discriminator"] = optax.global_norm(d_grads)
+                if log_param_norms:
+                    metrics.update(_param_norms(d_grads, "disc/"))
                 d_updates, disc_opt = disc_tx.update(
                     d_grads, state.disc_opt, state.disc_params
                 )
