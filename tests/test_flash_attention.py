@@ -95,3 +95,42 @@ def test_block_skipping_does_not_change_result(rng):
     a = np.asarray(_flash(q, k, v, seg, block=128))
     b = np.asarray(_flash(q, k, v, seg, block=64))
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_mh_kernel_matches_dense(rng):
+    from titok_tpu.ops.flash_attention_mh import flash_segment_attention_mh
+
+    q, k, v, seg = _inputs(rng)
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(flash_segment_attention_mh(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(seg),
+            block_q=128, block_k=128,
+        ))
+    exp = np.asarray(segment_attention_reference(q, k, v, seg))
+    np.testing.assert_allclose(out, exp, atol=2e-5)
+
+
+def test_mh_gradients_match_dense(rng):
+    from titok_tpu.ops.flash_attention_mh import flash_segment_attention_mh
+
+    q, k, v, seg = _inputs(rng, S=128, segs=(50, 40))
+
+    def loss_mh(q, k, v):
+        o = flash_segment_attention_mh(q, k, v, jnp.asarray(seg),
+                                       block_q=64, block_k=64)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    def loss_dense(q, k, v):
+        o = segment_attention_reference(q, k, v, jnp.asarray(seg))
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss_mh, argnums=(0, 1, 2))(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+        )
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    )
+    for a, b in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)

@@ -1,0 +1,349 @@
+"""Multi-head-fused Pallas flash segment attention (v2 kernel).
+
+Same semantics as ``titok_tpu/ops/flash_attention.py`` but restructured for
+the TiTok workload (few heads, head_dim 64, packed segments):
+
+- grid is ``(q_blocks, kv_blocks)`` only; all heads are processed inside
+  one block iteration as **static 64-wide column slices** of ``[S, H*D]``
+  buffers. The segment mask is computed once per (q, kv) block pair and
+  shared by every head (the v1 kernel recomputed it per head), k/v tiles
+  are loaded once instead of per-q-head, and no ``[S,H,D] -> [H,S,D]``
+  transposes are needed — inputs come straight from the fused qkv
+  projection's layout.
+- block skipping via scalar-prefetched per-block segment-id intervals,
+  as in v1.
+
+Used by default on TPU; v1 remains as a reference and for odd head
+configurations.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from titok_tpu.ops.flash_attention import _block_minmax, _remap_pad
+
+NEG_INF = -1e30
+
+
+def _fwd_kernel(qmm, kmm, q_ref, k_ref, v_ref, segq_ref, segk_ref,
+                o_ref, lse_ref, acc, m_s, l_s, *, scale, n_k, hq, hkv, d):
+    ik = pl.program_id(1)
+    iq = pl.program_id(0)
+    rep = hq // hkv
+
+    @pl.when(ik == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+        m_s[...] = jnp.full_like(m_s, NEG_INF)
+        l_s[...] = jnp.zeros_like(l_s)
+
+    overlap = jnp.logical_and(
+        kmm[ik, 0] <= qmm[iq, 1], kmm[ik, 1] >= qmm[iq, 0]
+    )
+
+    @pl.when(overlap)
+    def _compute():
+        mask = segq_ref[...] == segk_ref[...].reshape(1, -1)  # [Bq, Bk]
+        for h in range(hq):
+            hk = h // rep
+            qh = q_ref[:, h * d:(h + 1) * d]
+            kh = k_ref[:, hk * d:(hk + 1) * d]
+            vh = v_ref[:, hk * d:(hk + 1) * d]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = jnp.where(mask, s, NEG_INF)
+
+            m_prev = m_s[:, h:h + 1]
+            l_prev = l_s[:, h:h + 1]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+            alpha = jnp.exp(m_prev - m_new)
+            l_s[:, h:h + 1] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+            m_s[:, h:h + 1] = m_new
+            acc[:, h * d:(h + 1) * d] = acc[:, h * d:(h + 1) * d] * alpha + (
+                jax.lax.dot_general(
+                    p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+
+    @pl.when(ik == n_k - 1)
+    def _finish():
+        l = jnp.maximum(l_s[...], 1e-30)
+        for h in range(hq):
+            o_ref[:, h * d:(h + 1) * d] = (
+                acc[:, h * d:(h + 1) * d] / l[:, h:h + 1]
+            ).astype(o_ref.dtype)
+        lse_ref[...] = m_s[...] + jnp.log(l)
+
+
+def _mh_fwd(q2, k2, v2, seg, scale, block_q, block_k, hq, hkv, d):
+    S = q2.shape[0]
+    nq, nk = S // block_q, S // block_k
+    seg2 = seg.reshape(S, 1)
+    qmm = _block_minmax(seg, block_q)
+    kmm = _block_minmax(seg, block_k)
+
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, n_k=nk, hq=hq, hkv=hkv, d=d),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nq, nk),
+            in_specs=[
+                pl.BlockSpec((block_q, hq * d), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((block_k, hkv * d), lambda i, j, *_: (j, 0)),
+                pl.BlockSpec((block_k, hkv * d), lambda i, j, *_: (j, 0)),
+                pl.BlockSpec((block_q, 1), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((block_k, 1), lambda i, j, *_: (j, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((block_q, hq * d), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((block_q, hq), lambda i, j, *_: (i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, hq * d), jnp.float32),
+                pltpu.VMEM((block_q, hq), jnp.float32),
+                pltpu.VMEM((block_q, hq), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((S, hq * d), q2.dtype),
+            jax.ShapeDtypeStruct((S, hq), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(qmm, kmm, q2, k2, v2, seg2, seg2)
+    return out, lse
+
+
+def _bwd_dq_kernel(qmm, kmm, q_ref, k_ref, v_ref, segq_ref, segk_ref,
+                   do_ref, lse_ref, delta_ref, dq_ref, dq_acc,
+                   *, scale, n_k, hq, hkv, d):
+    ik = pl.program_id(1)
+    iq = pl.program_id(0)
+    rep = hq // hkv
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    overlap = jnp.logical_and(
+        kmm[ik, 0] <= qmm[iq, 1], kmm[ik, 1] >= qmm[iq, 0]
+    )
+
+    @pl.when(overlap)
+    def _compute():
+        mask = segq_ref[...] == segk_ref[...].reshape(1, -1)
+        for h in range(hq):
+            hk = h // rep
+            qh = q_ref[:, h * d:(h + 1) * d]
+            kh = k_ref[:, hk * d:(hk + 1) * d]
+            vh = v_ref[:, hk * d:(hk + 1) * d]
+            doh = do_ref[:, h * d:(h + 1) * d]
+            lse = lse_ref[:, h:h + 1]
+            delta = delta_ref[:, h:h + 1]
+
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+            dp = jax.lax.dot_general(
+                doh, vh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - delta) * scale
+            dq_acc[:, h * d:(h + 1) * d] += jax.lax.dot_general(
+                ds.astype(kh.dtype), kh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    @pl.when(ik == n_k - 1)
+    def _finish():
+        dq_ref[...] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(qmm, kmm, q_ref, k_ref, v_ref, segq_ref, segk_ref,
+                    do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+                    dk_acc, dv_acc, *, scale, n_q, hq, hkv, d):
+    iq = pl.program_id(1)
+    ik = pl.program_id(0)
+    rep = hq // hkv
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    overlap = jnp.logical_and(
+        kmm[ik, 0] <= qmm[iq, 1], kmm[ik, 1] >= qmm[iq, 0]
+    )
+
+    @pl.when(overlap)
+    def _compute():
+        mask = segq_ref[...] == segk_ref[...].reshape(1, -1)
+        for h in range(hq):
+            hk = h // rep
+            qh = q_ref[:, h * d:(h + 1) * d]
+            kh = k_ref[:, hk * d:(hk + 1) * d]
+            vh = v_ref[:, hk * d:(hk + 1) * d]
+            doh = do_ref[:, h * d:(h + 1) * d]
+            lse = lse_ref[:, h:h + 1]
+            delta = delta_ref[:, h:h + 1]
+
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # [Bq, Bk]
+
+            dv_acc[:, hk * d:(hk + 1) * d] += jax.lax.dot_general(
+                p.astype(doh.dtype), doh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                doh, vh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = (p * (dp - delta) * scale).astype(qh.dtype)
+            dk_acc[:, hk * d:(hk + 1) * d] += jax.lax.dot_general(
+                ds, qh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    @pl.when(iq == n_q - 1)
+    def _finish():
+        dk_ref[...] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[...] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _mh_bwd(res, g, scale, block_q, block_k, hq, hkv, d):
+    q2, k2, v2, seg, out, lse = res
+    S = q2.shape[0]
+    nq, nk = S // block_q, S // block_k
+    seg2 = seg.reshape(S, 1)
+    qmm = _block_minmax(seg, block_q)
+    kmm = _block_minmax(seg, block_k)
+
+    do2 = g
+    # delta[s, h] = sum_d do[s, h*d:(h+1)d] * out[s, ...]
+    delta = (
+        (do2.astype(jnp.float32) * out.astype(jnp.float32))
+        .reshape(S, hq, d).sum(-1)
+    )  # [S, hq]
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, n_k=nk, hq=hq,
+                          hkv=hkv, d=d),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nq, nk),
+            in_specs=[
+                pl.BlockSpec((block_q, hq * d), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((block_k, hkv * d), lambda i, j, *_: (j, 0)),
+                pl.BlockSpec((block_k, hkv * d), lambda i, j, *_: (j, 0)),
+                pl.BlockSpec((block_q, 1), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((block_k, 1), lambda i, j, *_: (j, 0)),
+                pl.BlockSpec((block_q, hq * d), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((block_q, hq), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((block_q, hq), lambda i, j, *_: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((block_q, hq * d), lambda i, j, *_: (i, 0)),
+            scratch_shapes=[pltpu.VMEM((block_q, hq * d), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((S, hq * d), q2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(qmm, kmm, q2, k2, v2, seg2, seg2, do2, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, n_q=nq, hq=hq,
+                          hkv=hkv, d=d),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nk, nq),
+            in_specs=[
+                pl.BlockSpec((block_q, hq * d), lambda i, j, *_: (j, 0)),
+                pl.BlockSpec((block_k, hkv * d), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((block_k, hkv * d), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((block_q, 1), lambda i, j, *_: (j, 0)),
+                pl.BlockSpec((block_k, 1), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((block_q, hq * d), lambda i, j, *_: (j, 0)),
+                pl.BlockSpec((block_q, hq), lambda i, j, *_: (j, 0)),
+                pl.BlockSpec((block_q, hq), lambda i, j, *_: (j, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((block_k, hkv * d), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((block_k, hkv * d), lambda i, j, *_: (i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, hkv * d), jnp.float32),
+                pltpu.VMEM((block_k, hkv * d), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((S, hkv * d), q2.dtype),
+            jax.ShapeDtypeStruct((S, hkv * d), q2.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(qmm, kmm, q2, k2, v2, seg2, seg2, do2, lse, delta)
+
+    return dq, dk, dv, None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _mh(q2, k2, v2, seg, scale, block_q, block_k, hq, hkv, d):
+    out, _ = _mh_fwd(q2, k2, v2, seg, scale, block_q, block_k, hq, hkv, d)
+    return out
+
+
+def _mh_vjp_fwd(q2, k2, v2, seg, scale, block_q, block_k, hq, hkv, d):
+    out, lse = _mh_fwd(q2, k2, v2, seg, scale, block_q, block_k, hq, hkv, d)
+    return out, (q2, k2, v2, seg, out, lse)
+
+
+def _mh_vjp_bwd(scale, block_q, block_k, hq, hkv, d, res, g):
+    return _mh_bwd(res, g, scale, block_q, block_k, hq, hkv, d)
+
+
+_mh.defvjp(_mh_vjp_fwd, _mh_vjp_bwd)
+
+
+def flash_segment_attention_mh(
+    q: jnp.ndarray,  # [S, Hq, D]
+    k: jnp.ndarray,  # [S, Hkv, D]
+    v: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    scale: float | None = None,
+    block_q: int = 512,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    S, Hq, D = q.shape
+    Hkv = k.shape[1]
+    if scale is None:
+        scale = D ** -0.5
+    bq = min(block_q, S)
+    while S % bq:
+        bq //= 2
+    bk = min(block_k, S)
+    while S % bk:
+        bk //= 2
+    seg = _remap_pad(segment_ids)
+    out = _mh(
+        q.reshape(S, Hq * D), k.reshape(S, Hkv * D), v.reshape(S, Hkv * D),
+        seg, float(scale), bq, bk, Hq, Hkv, D,
+    )
+    return out.reshape(S, Hq, D)
