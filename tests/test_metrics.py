@@ -1,0 +1,113 @@
+"""Metric math tests: PSNR/SSIM known values, Fréchet/MMD/IS properties,
+EvalMetrics hub with a fake video feature extractor."""
+
+import numpy as np
+import pytest
+
+from tests.util import tiny_config
+from titok_tpu.metrics.eval_metrics import EvalMetrics
+from titok_tpu.metrics.fvd import FVDCalculator, compute_stats, frechet_distance
+from titok_tpu.metrics.image_metrics import MetricCalculator, inception_score
+from titok_tpu.metrics.jedi import JEDiMetric, mmd_poly
+from titok_tpu.metrics.psnr_ssim import PSNRMetric, SSIMMetric, ssim_image
+
+
+def test_psnr_known_value():
+    m = PSNRMetric(data_range=2.0)
+    a = np.zeros((1, 3, 8, 8))
+    b = np.full((1, 3, 8, 8), 0.2)
+    m.update(a, b)
+    # mse = 0.04 -> 10*log10(4/0.04) = 20
+    np.testing.assert_allclose(m.compute(), 20.0, atol=1e-6)
+
+
+def test_psnr_global_accumulation():
+    """torchmetrics semantics: one global MSE over all updates, not a mean
+    of per-batch PSNRs."""
+    m = PSNRMetric(2.0)
+    m.update(np.zeros((4,)), np.full((4,), 0.1))
+    m.update(np.zeros((4,)), np.full((4,), 0.3))
+    mse = (4 * 0.01 + 4 * 0.09) / 8
+    np.testing.assert_allclose(m.compute(), 10 * np.log10(4 / mse), atol=1e-6)
+
+
+def test_ssim_identity_and_range(rng):
+    x = rng.uniform(-1, 1, size=(3, 32, 32))
+    assert ssim_image(x, x) == pytest.approx(1.0)
+    y = rng.uniform(-1, 1, size=(3, 32, 32))
+    s = ssim_image(x, y)
+    assert -1.0 <= s < 0.9
+
+
+def test_frechet_distance_properties(rng):
+    a = rng.normal(size=(500, 16))
+    np.testing.assert_allclose(
+        frechet_distance(*compute_stats(a), *compute_stats(a)), 0.0, atol=1e-6
+    )
+    b = rng.normal(loc=3.0, size=(500, 16))
+    d = frechet_distance(*compute_stats(a), *compute_stats(b))
+    assert d > 100  # |mu diff|^2 = 16*9 = 144 dominated
+
+
+def test_mmd_poly_properties(rng):
+    a = rng.normal(size=(100, 8))
+    assert mmd_poly(a, a) == pytest.approx(0.0, abs=1e-6)
+    b = rng.normal(loc=2.0, size=(100, 8))
+    assert mmd_poly(a, b) > 0
+
+
+def test_inception_score_bounds(rng):
+    # uniform logits -> IS 1; peaked + diverse -> IS ~ num_classes
+    assert inception_score(np.zeros((50, 10))) == pytest.approx(1.0, abs=1e-5)
+    peaked = np.eye(10)[np.arange(50) % 10] * 50
+    assert inception_score(peaked) == pytest.approx(10.0, rel=0.01)
+
+
+class _FakeExtractor:
+    """Deterministic video 'features': per-channel means and stds."""
+
+    def __call__(self, v_bcthw):
+        v = np.asarray(v_bcthw, np.float64)
+        flat = v.reshape(v.shape[0], v.shape[1], -1)
+        return np.concatenate([flat.mean(-1), flat.std(-1)], axis=1)
+
+
+def test_fvd_calculator_with_fake_extractor(rng):
+    calc = FVDCalculator()
+    calc._extractor = _FakeExtractor()
+    for _ in range(4):
+        t = rng.normal(size=(8, 3, 4, 16, 16))
+        calc.update(t + 0.01 * rng.normal(size=t.shape), t)
+    d_close = calc.compute()
+    calc.reset()
+    for _ in range(4):
+        t = rng.normal(size=(8, 3, 4, 16, 16))
+        calc.update(t + 2.0, t)
+    assert calc.compute() > d_close
+
+
+def test_jedi_requires_extractor():
+    m = JEDiMetric()
+    with pytest.raises(RuntimeError, match="V-JEPA"):
+        m.update(np.zeros((1, 3, 4, 8, 8)), np.zeros((1, 3, 4, 8, 8)))
+
+
+def test_eval_metrics_hub(rng):
+    cfg = tiny_config()
+    em = EvalMetrics(cfg)
+    clips = [rng.uniform(-1, 1, size=(3, 4, 16, 16)).astype(np.float32)
+             for _ in range(3)]
+    em.update([c + 0.05 for c in clips], clips)
+    out = em.compute()
+    assert set(out) == {"eval/psnr", "eval/ssim"}
+    assert out["eval/psnr"] > 20
+    em.reset()
+    assert np.isnan(em.compute()["eval/psnr"])
+
+
+def test_image_metric_calculator(rng):
+    mc = MetricCalculator(metrics=("psnr", "ssim"))
+    a = rng.uniform(-1, 1, size=(2, 3, 16, 16)).astype(np.float32)
+    mc.update(a + 0.1, a)
+    out = mc.compute()
+    assert "psnr" in out and "ssim" in out

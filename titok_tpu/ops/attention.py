@@ -76,7 +76,8 @@ def segment_attention(
 ) -> jnp.ndarray:
     """Dispatching entry point used by the transformer.
 
-    ``impl``: 'auto' (Pallas flash on TPU, dense elsewhere), 'flash',
+    ``impl``: 'auto' (Pallas flash on TPU, dense elsewhere), 'flash'
+    (multi-head-fused v2 kernel), 'flash_v1' (head-per-grid-row kernel),
     or 'reference'.
     """
     if impl == "auto":
@@ -85,6 +86,10 @@ def segment_attention(
         else:
             impl = "reference"
     if impl == "flash":
+        from titok_tpu.ops.flash_attention_mh import flash_segment_attention_mh
+
+        return flash_segment_attention_mh(q, k, v, segment_ids, scale=scale)
+    if impl == "flash_v1":
         from titok_tpu.ops.flash_attention import flash_segment_attention
 
         return flash_segment_attention(q, k, v, segment_ids, scale=scale)
