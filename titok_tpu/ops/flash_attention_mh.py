@@ -86,12 +86,14 @@ def _fwd_kernel(qmm, kmm, q_ref, k_ref, v_ref, segq_ref, segk_ref,
         lse_ref[...] = m_s[...] + jnp.log(l)
 
 
-def _mh_fwd(q2, k2, v2, seg, scale, block_q, block_k, hq, hkv, d):
+def _mh_fwd(q2, k2, v2, seg_q, seg_k, scale, block_q, block_k, hq, hkv, d):
     S = q2.shape[0]
-    nq, nk = S // block_q, S // block_k
-    seg2 = seg.reshape(S, 1)
-    qmm = _block_minmax(seg, block_q)
-    kmm = _block_minmax(seg, block_k)
+    Sk = k2.shape[0]
+    nq, nk = S // block_q, Sk // block_k
+    segq2 = seg_q.reshape(S, 1)
+    segk2 = seg_k.reshape(Sk, 1)
+    qmm = _block_minmax(seg_q, block_q)
+    kmm = _block_minmax(seg_k, block_k)
 
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, n_k=nk, hq=hq, hkv=hkv, d=d),
@@ -122,7 +124,7 @@ def _mh_fwd(q2, k2, v2, seg, scale, block_q, block_k, hq, hkv, d):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(qmm, kmm, q2, k2, v2, seg2, seg2)
+    )(qmm, kmm, q2, k2, v2, segq2, segk2)
     return out, lse
 
 
@@ -228,12 +230,14 @@ def _bwd_dkv_kernel(qmm, kmm, q_ref, k_ref, v_ref, segq_ref, segk_ref,
 
 
 def _mh_bwd(res, g, scale, block_q, block_k, hq, hkv, d):
-    q2, k2, v2, seg, out, lse = res
+    q2, k2, v2, seg_q, seg_k, out, lse = res
     S = q2.shape[0]
-    nq, nk = S // block_q, S // block_k
-    seg2 = seg.reshape(S, 1)
-    qmm = _block_minmax(seg, block_q)
-    kmm = _block_minmax(seg, block_k)
+    Sk = k2.shape[0]
+    nq, nk = S // block_q, Sk // block_k
+    segq2 = seg_q.reshape(S, 1)
+    segk2 = seg_k.reshape(Sk, 1)
+    qmm = _block_minmax(seg_q, block_q)
+    kmm = _block_minmax(seg_k, block_k)
 
     do2 = g
     # delta[s, h] = sum_d do[s, h*d:(h+1)d] * out[s, ...]
@@ -265,7 +269,7 @@ def _mh_bwd(res, g, scale, block_q, block_k, hq, hkv, d):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(qmm, kmm, q2, k2, v2, seg2, seg2, do2, lse, delta)
+    )(qmm, kmm, q2, k2, v2, segq2, segk2, do2, lse, delta)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, n_q=nq, hq=hq,
@@ -293,26 +297,28 @@ def _mh_bwd(res, g, scale, block_q, block_k, hq, hkv, d):
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((S, hkv * d), q2.dtype),
-            jax.ShapeDtypeStruct((S, hkv * d), q2.dtype),
+            jax.ShapeDtypeStruct((Sk, hkv * d), q2.dtype),
+            jax.ShapeDtypeStruct((Sk, hkv * d), q2.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(qmm, kmm, q2, k2, v2, seg2, seg2, do2, lse, delta)
+    )(qmm, kmm, q2, k2, v2, segq2, segk2, do2, lse, delta)
 
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
-def _mh(q2, k2, v2, seg, scale, block_q, block_k, hq, hkv, d):
-    out, _ = _mh_fwd(q2, k2, v2, seg, scale, block_q, block_k, hq, hkv, d)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _mh(q2, k2, v2, seg_q, seg_k, scale, block_q, block_k, hq, hkv, d):
+    out, _ = _mh_fwd(q2, k2, v2, seg_q, seg_k, scale, block_q, block_k, hq,
+                     hkv, d)
     return out
 
 
-def _mh_vjp_fwd(q2, k2, v2, seg, scale, block_q, block_k, hq, hkv, d):
-    out, lse = _mh_fwd(q2, k2, v2, seg, scale, block_q, block_k, hq, hkv, d)
-    return out, (q2, k2, v2, seg, out, lse)
+def _mh_vjp_fwd(q2, k2, v2, seg_q, seg_k, scale, block_q, block_k, hq, hkv, d):
+    out, lse = _mh_fwd(q2, k2, v2, seg_q, seg_k, scale, block_q, block_k, hq,
+                       hkv, d)
+    return out, (q2, k2, v2, seg_q, seg_k, out, lse)
 
 
 def _mh_vjp_bwd(scale, block_q, block_k, hq, hkv, d, res, g):
@@ -323,27 +329,30 @@ _mh.defvjp(_mh_vjp_fwd, _mh_vjp_bwd)
 
 
 def flash_segment_attention_mh(
-    q: jnp.ndarray,  # [S, Hq, D]
-    k: jnp.ndarray,  # [S, Hkv, D]
+    q: jnp.ndarray,  # [Sq, Hq, D]
+    k: jnp.ndarray,  # [Sk, Hkv, D]
     v: jnp.ndarray,
-    segment_ids: jnp.ndarray,
+    segment_ids: jnp.ndarray,       # int32 [Sq]
     scale: float | None = None,
     block_q: int = 512,
     block_k: int = 512,
+    k_segment_ids: jnp.ndarray | None = None,  # int32 [Sk] (defaults to q's)
 ) -> jnp.ndarray:
     S, Hq, D = q.shape
+    Sk = k.shape[0]
     Hkv = k.shape[1]
     if scale is None:
         scale = D ** -0.5
     bq = min(block_q, S)
     while S % bq:
         bq //= 2
-    bk = min(block_k, S)
-    while S % bk:
+    bk = min(block_k, Sk)
+    while Sk % bk:
         bk //= 2
-    seg = _remap_pad(segment_ids)
+    seg_q = _remap_pad(segment_ids)
+    seg_k = seg_q if k_segment_ids is None else _remap_pad(k_segment_ids)
     out = _mh(
-        q.reshape(S, Hq * D), k.reshape(S, Hkv * D), v.reshape(S, Hkv * D),
-        seg, float(scale), bq, bk, Hq, Hkv, D,
+        q.reshape(S, Hq * D), k.reshape(Sk, Hkv * D), v.reshape(Sk, Hkv * D),
+        seg_q, seg_k, float(scale), bq, bk, Hq, Hkv, D,
     )
     return out.reshape(S, Hq, D)
