@@ -224,9 +224,14 @@ class TiTokModel:
         idx = np.asarray(aux["indices"])
         return unpack_indices(idx, batch) if split_indices else idx
 
-    def decode_indices(self, indices: Sequence[np.ndarray], grids):
-        """Per-sample index lists + pixel-space grids -> list of CTHW videos
-        (ref ``titok.py:54-62``)."""
+    def decode_indices(self, indices, grids, token_counts=None):
+        """Indices + pixel-space grids -> list of CTHW videos
+        (ref ``titok.py:54-62``). ``indices`` is either a list of per-sample
+        index arrays, or one flat array with ``token_counts`` given."""
+        if token_counts is not None:
+            flat_in = np.asarray(indices, np.int32)
+            splits = np.cumsum(token_counts)[:-1]
+            indices = np.split(flat_in, splits)
         token_counts = [len(i) for i in indices]
         ps = list(self.module.patch_size)
         videos = [

@@ -120,6 +120,32 @@ class GEGLU(nn.Module):
         )(h)
 
 
+class SwiGLUFFD(nn.Module):
+    """SwiGLU feed-forward (reference ``ffd_swi``, transformer.py:59-66 —
+    unused on the reference's live path, which uses GEGLU; kept for parity
+    as a drop-in alternative; same inner-dim rounding, biases enabled as in
+    xformers SwiGLU)."""
+
+    dim: int
+    mult: float = 4.0
+    mult_of: int = 32
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        inner = int(self.mult * (2.0 / 3.0) * self.dim)
+        inner = self.mult_of * ((inner + self.mult_of - 1) // self.mult_of)
+        x = RMSNorm(name="norm")(x)
+        w1 = nn.Dense(inner, use_bias=True, name="w1", kernel_init=dense_init,
+                      dtype=self.dtype, param_dtype=jnp.float32)(x)
+        w2 = nn.Dense(inner, use_bias=True, name="w2", kernel_init=dense_init,
+                      dtype=self.dtype, param_dtype=jnp.float32)(x)
+        h = nn.silu(w1) * w2
+        return nn.Dense(self.dim, use_bias=True, name="w3",
+                        kernel_init=dense_init, dtype=self.dtype,
+                        param_dtype=jnp.float32)(h)
+
+
 class ResidualAttentionBlock(nn.Module):
     embed_dim: int = 512
     heads: Sequence[int] = (8, 2)
