@@ -78,8 +78,8 @@ class DataParallelTrainer(Trainer):
 
         t_last = time.time()
         tokens_since = 0
+        step_num = int(state.step)  # host-tracked; avoids a device sync/step
         for s, sd, g, ge in feed():
-            step_num = int(state.step)
             if step_num >= max_steps:
                 break
             sp = (
@@ -111,6 +111,7 @@ class DataParallelTrainer(Trainer):
                 self.validate_dp(state, step_num)
 
             self.ckpt.maybe_save(step_num, state)
+            step_num += 1
 
         self.ckpt.save(int(state.step), state)
         self.ckpt.wait()

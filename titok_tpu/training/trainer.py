@@ -155,8 +155,8 @@ class Trainer:
 
         t_last = time.time()
         tokens_since = 0
+        step_num = int(state.step)  # host-tracked; avoids a device sync/step
         for dev_batch, batch, dev_extras in loader:
-            step_num = int(state.step)
             if step_num >= max_steps:
                 break
             if profile_dir and profile_steps and step_num == int(profile_steps):
@@ -190,6 +190,7 @@ class Trainer:
                 self.validate(state, step_num)
 
             self.ckpt.maybe_save(step_num, state)
+            step_num += 1
 
         self.ckpt.save(int(state.step), state)
         self.ckpt.wait()
