@@ -1,0 +1,88 @@
+"""CLI tool tests: tokenize encode/decode roundtrip, prefetcher."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.test_data_pipeline import _write_videos
+
+
+@pytest.fixture(scope="module")
+def video_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("videos"))
+    _write_videos(d, n=1)
+    return d
+
+
+def test_tokenize_roundtrip(video_dir, tmp_path):
+    """encode -> .npz tokens -> decode -> mp4, through the CLI."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH", ""))
+    cfgpath = str(tmp_path / "cfg.yaml")
+    from tests.util import tiny_config
+
+    cfg = tiny_config()
+    cfg.set_dotted("training.sampling.eval_seq_len", 512)
+    cfg.set_dotted("training.sampling.min_grid", [2, 8, 8])
+    cfg.set_dotted("training.sampling.max_grid", [4, 16, 16])
+    with open(cfgpath, "w") as f:
+        f.write(cfg.to_yaml())
+
+    vid = os.path.join(video_dir, "v0.mp4")
+    tok_dir, rec_dir = str(tmp_path / "tok"), str(tmp_path / "rec")
+    r = subprocess.run(
+        [sys.executable, "tools/tokenize.py", "encode", vid,
+         "--config", cfgpath, "--out", tok_dir, "--tokens", "6"],
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    tok = os.path.join(tok_dir, "v0.npz")
+    data = np.load(tok)
+    assert data["indices"].shape == (6,)
+    assert (data["indices"] >= 0).all()
+
+    r = subprocess.run(
+        [sys.executable, "tools/tokenize.py", "decode", tok,
+         "--config", cfgpath, "--out", rec_dir],
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(os.path.join(rec_dir, "v0_recon.mp4"))
+
+
+def test_prefetch_loader(rng):
+    from tests.util import PATCH, synthetic_videos
+    from titok_tpu.data.packing import pack_samples
+    from titok_tpu.data.prefetch import PrefetchLoader
+
+    def factory():
+        for i in range(5):
+            vids = synthetic_videos(np.random.default_rng(i), 2)
+            yield pack_samples(vids, [2, 3], seq_len=128, max_samples=4,
+                               patch_size=PATCH)
+
+    loader = PrefetchLoader(factory, build_extras=lambda b: {"n": np.array(b.num_samples)})
+    items = list(loader)
+    assert len(items) == 5
+    dev, batch, extras = items[0]
+    assert dev["patches"].shape == (128, np.prod(PATCH) * 3)
+    assert int(extras["n"]) == 2
+
+
+def test_prefetch_loader_propagates_errors():
+    from titok_tpu.data.prefetch import PrefetchLoader
+
+    def factory():
+        yield from ()
+        raise RuntimeError("boom")
+
+    def bad_factory():
+        raise RuntimeError("boom")
+        yield
+
+    loader = PrefetchLoader(bad_factory)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(loader)
