@@ -136,7 +136,14 @@ class Trainer:
         eval_every = int(cfg.training.eval.get("eval_step_interval", 1000))
         seed = int(cm.get("seed", 0))
 
+        # reproducibility/debug aids (the reference has none, SURVEY §5)
+        if cm.get("debug_nans", False):
+            jax.config.update("jax_debug_nans", True)
+        with open(os.path.join(self.logger.out_dir, "config.yaml"), "w") as f:
+            f.write(cfg.to_yaml())
+
         state = self._init_state(seed)
+        self._install_preemption_save(lambda: state)
         train_step = jax.jit(self.builder.make_train_step(self.lpips_params),
                              donate_argnums=(0,))
         self._eval_step = jax.jit(self.builder.make_eval_step())
@@ -195,6 +202,30 @@ class Trainer:
         self.ckpt.save(int(state.step), state)
         self.ckpt.wait()
         return state
+
+    def _install_preemption_save(self, get_state):
+        """Failure recovery beyond the reference: checkpoint on SIGTERM /
+        SIGINT so preempted runs resume at the last step, not the last
+        periodic save."""
+        import signal
+
+        self._get_state = get_state
+
+        def handler(signum, frame):
+            try:
+                state = self._get_state()
+                self.ckpt.save(int(state.step), state)
+                self.ckpt.wait()
+                print(f"preemption save at step {int(state.step)}")
+            finally:
+                signal.default_int_handler(signum, frame) if signum == signal.SIGINT \
+                    else exit(143)
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, handler)
+            except (ValueError, OSError):  # non-main thread etc.
+                pass
 
     # -- validation (reference train.py:118-163) ---------------------------
     def validate(self, state, step_num: int):
