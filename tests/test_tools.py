@@ -86,3 +86,42 @@ def test_prefetch_loader_propagates_errors():
     loader = PrefetchLoader(bad_factory)
     with pytest.raises(RuntimeError, match="boom"):
         list(loader)
+
+
+def test_train_cli(tmp_path, video_dir):
+    """The real `python train.py config=...` entry point end-to-end."""
+    import csv as _csv
+
+    csv_path = str(tmp_path / "train.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=["path"])
+        w.writeheader()
+        for p in sorted(os.listdir(video_dir)):
+            if p.endswith(".mp4"):
+                w.writerow({"path": os.path.join(video_dir, p)})
+
+    from tests.util import tiny_config
+
+    cfg = tiny_config()
+    cfg.set_dotted("dataset.train_dataset", csv_path)
+    cfg.set_dotted("dataset.eval_dataset", csv_path)
+    cfg.set_dotted("general.checkpoints.save_path", str(tmp_path / "out"))
+    cfg.set_dotted("training.sampling.min_grid", [2, 8, 8])
+    cfg.set_dotted("training.sampling.max_grid", [4, 16, 16])
+    cfg.set_dotted("training.sampling.fps_range", [2, 8])
+    cfg.set_dotted("training.sampling.train_seq_len", 128)
+    cfg.set_dotted("training.eval.eval_step_interval", 100)
+    cfg.set_dotted("training.eval.eval_samples", 2)
+    cfgpath = str(tmp_path / "cfg.yaml")
+    with open(cfgpath, "w") as f:
+        f.write(cfg.to_yaml())
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH", ""))
+    r = subprocess.run(
+        [sys.executable, "train.py", f"config={cfgpath}",
+         "training.main.max_steps=2"],
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=480,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(tmp_path / "out" / "metrics.jsonl")

@@ -350,6 +350,10 @@ class Packer:
             vid = sample["video"]
             gs = math.prod(d // p for d, p in zip(video_dims(vid), self.patch_size))
             tc = int(self.rng.integers(self.token_range[0], self.token_range[1] + 1))
+            if gs + tc > self.seq_len:  # can never fit; drop with a warning
+                print(f"packer: dropping oversized clip ({gs} grid + {tc} "
+                      f"tokens > budget {self.seq_len})")
+                continue
             if cur + gs + tc > self.seq_len or len(videos) >= self.max_samples:
                 if videos:
                     yield pack_samples(

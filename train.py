@@ -8,11 +8,28 @@ e.g.  python train.py config=configs/tiny_csv.yaml \\
           optimizer.learning_rate=3e-4 training.main.max_steps=1000
 """
 
+import os
 import sys
 
 import numpy as np
 
 from titok_tpu.config import config_from_cli
+
+
+def _honor_platform_env():
+    """The axon sitecustomize forces jax_platforms=axon even over an
+    explicit JAX_PLATFORMS env var; restore the user's choice."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and "axon" not in want:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+
+
+_honor_platform_env()
 
 
 def main(argv):
