@@ -109,3 +109,31 @@ def test_deterministic_indices(model, rng):
     a = model.encode([v], [4])[0]
     b = model.encode([v], [4])[0]
     np.testing.assert_array_equal(a, b)
+
+
+def test_remat_same_outputs_and_grads(rng):
+    """remat=True must not change values or gradients."""
+    import jax
+
+    v = _vid(rng, 8, 16, 16)
+    base = TiTok(patch_size=PATCH, dtype=jnp.float32, attn_impl="reference")
+    rem = TiTok(patch_size=PATCH, dtype=jnp.float32, attn_impl="reference",
+                remat=True)
+    m = TiTokModel(base, seq_len=128, min_grid=(4, 8, 8), seed=0)
+    from titok_tpu.data.packing import pack_samples
+
+    batch = pack_samples([v], [4], seq_len=128, max_samples=2,
+                         patch_size=PATCH).device_arrays()
+
+    def loss(mod, params):
+        recon, _ = mod.apply({"params": params}, batch)
+        return (recon.astype(jnp.float32) ** 2).sum()
+
+    l0 = float(loss(base, m.params))
+    l1 = float(loss(rem, m.params))
+    assert abs(l0 - l1) < 1e-3
+    g0 = jax.grad(lambda p: loss(base, p))(m.params)
+    g1 = jax.grad(lambda p: loss(rem, p))(m.params)
+    a = np.concatenate([np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(g0)])
+    b = np.concatenate([np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(g1)])
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)

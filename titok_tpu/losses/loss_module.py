@@ -71,7 +71,18 @@ class LossSystem:
         self.centering_weight = float(loss_d.centering_weight)
 
         self.sample_size = int(loss_c.perceptual_sampling_size)
-        self.num_frames = int(loss_c.perceptual_samples_per_step) + 1  # ref keeps K+1
+        n_perc = int(loss_c.perceptual_samples_per_step)
+        if n_perc == -1:  # ref: sample all frames; static worst case here
+            from titok_tpu.data.packing import max_samples_for
+
+            cs = config.training.sampling
+            bmax = max_samples_for(
+                int(cs.train_seq_len), cs.min_grid,
+                config.tokenizer.model.patch_size, cs.token_range[0],
+            )
+            self.num_frames = int(cs.max_grid[0]) * bmax
+        else:
+            self.num_frames = n_perc + 1  # ref keeps K+1 (loss_module.py:90-93)
         self.patch_size = tuple(config.tokenizer.model.patch_size)
         self.use_perceptual = self.perceptual_weight > 0 or self.gram_weight > 0
         self.use_disc = self.disc_weight > 0

@@ -71,6 +71,7 @@ class PackedEncoder(nn.Module):
     out_channels: int = 5
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, patches, token_mask, segment_ids, rope_cos, rope_sin):
@@ -95,7 +96,7 @@ class PackedEncoder(nn.Module):
         x = ResidualAttentionBlock(
             embed_dim=width, heads=heads, mlp_ratio=mlp_ratio,
             num_layer=num_layers, dtype=self.dtype, attn_impl=self.attn_impl,
-            name="model_layers",
+            remat=self.remat, name="model_layers",
         )(x, rope_cos, rope_sin, segment_ids)
 
         x = RMSNorm(name="ln_post")(x)
@@ -116,6 +117,7 @@ class PackedDecoder(nn.Module):
     out_channels: int = 3
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, tokens, token_mask, segment_ids, rope_cos, rope_sin):
@@ -138,7 +140,7 @@ class PackedDecoder(nn.Module):
         x = ResidualAttentionBlock(
             embed_dim=width, heads=heads, mlp_ratio=mlp_ratio,
             num_layer=num_layers, dtype=self.dtype, attn_impl=self.attn_impl,
-            name="model_layers",
+            remat=self.remat, name="model_layers",
         )(x, rope_cos, rope_sin, segment_ids)
 
         x = RMSNorm(name="ln_post")(x)

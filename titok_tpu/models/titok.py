@@ -54,6 +54,7 @@ class TiTok(nn.Module):
     # quantizer family: 'fsq' (reference default) or 'vq' (EMA-VQ with the
     # Pallas nearest-neighbor kernel, titok_tpu/models/vq.py)
     quantizer: str = "fsq"
+    remat: bool = False
     vq_codebook_size: int = 16384
     vq_dim: int = 8
     vq_commitment_weight: float = 0.25
@@ -77,6 +78,7 @@ class TiTok(nn.Module):
             out_channels=self.token_size,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            remat=self.remat,
             name="encoder",
         )
         if self.quantizer == "fsq":
@@ -96,6 +98,7 @@ class TiTok(nn.Module):
             out_channels=self.in_channels,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            remat=self.remat,
             name="decoder",
         )
 
@@ -164,6 +167,7 @@ def make_titok(config) -> TiTok:
         decoder_size=tm.decoder_size,
         dtype=dtype,
         attn_impl=str(config.training.main.get("attn_impl", "auto")),
+        remat=bool(config.training.main.get("remat", False)),
         quantizer=str(tm.get("quantizer", "fsq")),
         vq_codebook_size=int(vq.get("codebook_size", 16384)),
         vq_dim=int(vq.get("dim", 8)),

@@ -153,16 +153,23 @@ class ResidualAttentionBlock(nn.Module):
     num_layer: int = 2
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    # rematerialize sublayers in the backward pass (jax.checkpoint): trades
+    # FLOPs for activation memory — lets big budgets/models fit HBM
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, rope_cos, rope_sin, segment_ids):
+        attn_cls, ffd_cls = Attn, GEGLU
+        if self.remat:
+            attn_cls = nn.remat(Attn, static_argnums=())
+            ffd_cls = nn.remat(GEGLU, static_argnums=())
         alpha = jnp.asarray(self.num_layer * 2, dtype=x.dtype)
         for i in range(self.num_layer):
-            attn = Attn(
+            attn = attn_cls(
                 self.embed_dim, self.heads, dtype=self.dtype,
                 attn_impl=self.attn_impl, name=f"attn_{i}",
             )
-            ffd = GEGLU(
+            ffd = ffd_cls(
                 self.embed_dim, mult=self.mlp_ratio, dtype=self.dtype,
                 name=f"ffd_{i}",
             )

@@ -64,6 +64,7 @@ class DataParallelTrainer(Trainer):
         state = self.builder.init_state(
             jax.random.PRNGKey(seed), stacked, stacked_disc
         )
+        self._install_preemption_save(lambda: state)
         train_step = jax.jit(self.builder.make_train_step(self.lpips_params),
                              donate_argnums=(0,))
         self._eval_step = jax.jit(self.builder.make_eval_step())
