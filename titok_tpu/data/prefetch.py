@@ -18,7 +18,6 @@ import threading
 from typing import Callable, Iterator, Optional
 
 import jax
-import numpy as np
 
 
 class PrefetchLoader:

@@ -16,7 +16,6 @@ and are rejected with a clear error in this zero-egress build.
 
 from __future__ import annotations
 
-import io
 import os
 import re
 import tarfile

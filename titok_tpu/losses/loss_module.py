@@ -27,8 +27,6 @@ forwards of a train step batch through the same jitted program.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
-
 import jax
 import jax.numpy as jnp
 

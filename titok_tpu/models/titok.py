@@ -17,7 +17,6 @@ Two API layers:
 
 from __future__ import annotations
 
-import math
 from typing import Any, Sequence
 
 import jax

@@ -21,8 +21,6 @@ bf16 noise).
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 from flax import struct

@@ -27,7 +27,6 @@ logsumexp, with the same block skipping.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

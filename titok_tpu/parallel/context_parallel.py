@@ -25,9 +25,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-from titok_tpu.ops.attention import segment_attention_reference
+from jax.sharding import Mesh, PartitionSpec as P
 
 SEG_SHARD_STRIDE = 1 << 20  # ids per shard; samples per chip stay below this
 

@@ -11,8 +11,6 @@ first-party communication code.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import optax

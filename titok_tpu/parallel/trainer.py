@@ -15,7 +15,6 @@ import jax
 import numpy as np
 
 from titok_tpu.data.packing import unpack_indices
-from titok_tpu.data.prefetch import PrefetchLoader
 from titok_tpu.parallel.mesh import batch_sharding, make_mesh
 from titok_tpu.parallel.train_step import DPTrainStepBuilder
 from titok_tpu.training.trainer import Trainer

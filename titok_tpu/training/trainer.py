@@ -10,10 +10,8 @@ checkpoints. Multi-chip runs shard the same step over a ``Mesh``
 
 from __future__ import annotations
 
-import math
 import os
 import time
-from typing import Iterator, Optional
 
 import jax
 import numpy as np
@@ -154,7 +152,7 @@ class Trainer:
             build_extras=lambda b: self._build_extras(b, extras_rng),
         )
 
-        from titok_tpu.train_utils.profiling import StepTimer, trace
+        from titok_tpu.train_utils.profiling import StepTimer
 
         profile_dir = cm.get("profile_dir", None)
         profile_steps = cm.get("profile_steps", None)
