@@ -27,8 +27,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-SEG_SHARD_STRIDE = 1 << 20  # ids per shard; samples per chip stay below this
-
 
 def _local_cp_attention(q, k, v, seg, axis, impl):
     """Runs inside shard_map: per-shard q, gathered k/v.
