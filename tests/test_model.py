@@ -137,3 +137,18 @@ def test_remat_same_outputs_and_grads(rng):
     a = np.concatenate([np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(g0)])
     b = np.concatenate([np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(g1)])
     np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_serving_auto_batching(model, rng):
+    """More clips than fit one budget are split transparently."""
+    vids = [_vid(rng, 8, 16, 16) for _ in range(6)]  # 6 * (32 grid + tc)
+    tcs = [10] * 6  # 6 * 42 = 252 fits; use small budget model below
+    small = TiTokModel(model.module, params=model.params, seq_len=96,
+                       min_grid=(4, 8, 8))
+    recon, aux = small.forward(vids, tcs)  # needs 3 groups under 96 budget
+    assert len(recon) == 6 and all(r is not None for r in recon)
+    # identical results as one-clip-at-a-time
+    solo = small.forward([vids[3]], [10])[0][0]
+    np.testing.assert_allclose(recon[3], solo, atol=1e-5)
+    idx = small.encode(vids, tcs)
+    np.testing.assert_array_equal(idx[3], small.encode([vids[3]], [10])[0])

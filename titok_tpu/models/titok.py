@@ -219,13 +219,44 @@ class TiTokModel:
             patch_size=list(self.module.patch_size), head_dim=HEAD_DIM, fps=fps,
         )
 
+    def _groups(self, videos, token_counts):
+        """Split a request into budget-fitting groups (serving-side
+        batching; the training packer handles this on its own stream)."""
+        import math as _math
+
+        ps = list(self.module.patch_size)
+        groups, cur, cur_len = [], [], 0
+        for i, (v, tc) in enumerate(zip(videos, token_counts)):
+            dims = v.shape[1:]
+            cost = _math.prod(d // p for d, p in zip(dims, ps)) + int(tc)
+            if cost > self.seq_len:
+                raise ValueError(
+                    f"clip {i} needs {cost} slots > budget {self.seq_len}"
+                )
+            if cur and (cur_len + cost > self.seq_len
+                        or len(cur) >= self.max_samples):
+                groups.append(cur)
+                cur, cur_len = [], 0
+            cur.append(i)
+            cur_len += cost
+        if cur:
+            groups.append(cur)
+        return groups
+
     # -- reference-parity public API --------------------------------------
     def encode(self, videos, token_counts, split_indices: bool = True):
         """Videos -> per-sample int32 codebook indices (ref ``titok.py:47-52``)."""
-        batch = self._pack(videos, token_counts)
-        _, aux = self._jit_forward(self.params, batch.device_arrays())
-        idx = np.asarray(aux["indices"])
-        return unpack_indices(idx, batch) if split_indices else idx
+        per_sample: list = [None] * len(videos)
+        for group in self._groups(videos, token_counts):
+            batch = self._pack([videos[i] for i in group],
+                               [token_counts[i] for i in group])
+            _, aux = self._jit_forward(self.params, batch.device_arrays())
+            idx = np.asarray(aux["indices"])
+            for j, i in enumerate(group):
+                per_sample[i] = unpack_indices(idx, batch)[j]
+        if split_indices:
+            return per_sample
+        return np.concatenate(per_sample)
 
     def decode_indices(self, indices, grids, token_counts=None):
         """Indices + pixel-space grids -> list of CTHW videos
@@ -241,24 +272,42 @@ class TiTokModel:
             np.zeros([self.module.in_channels] + [int(g) for g in grid], np.float32)
             for grid in grids
         ]
-        batch = self._pack(videos, token_counts)
-        # place the provided indices at their token slots
         from titok_tpu.data.packing import sample_offsets
 
-        offs = sample_offsets(batch.token_counts, batch.grid_sizes)
-        flat = np.zeros((batch.seq_len,), np.int32)
-        for b, idx in enumerate(indices):
-            flat[offs[b] : offs[b] + len(idx)] = np.asarray(idx, np.int32)
-        recon = self._jit_decode_indices(self.params, flat, batch.device_arrays())
-        return unpack_videos(np.asarray(recon, np.float32), batch, ps)
+        out: list = [None] * len(videos)
+        for group in self._groups(videos, token_counts):
+            batch = self._pack([videos[i] for i in group],
+                               [token_counts[i] for i in group])
+            # place the provided indices at their token slots
+            offs = sample_offsets(batch.token_counts, batch.grid_sizes)
+            flat = np.zeros((batch.seq_len,), np.int32)
+            for j, i in enumerate(group):
+                flat[offs[j] : offs[j] + len(indices[i])] = np.asarray(
+                    indices[i], np.int32
+                )
+            recon = self._jit_decode_indices(
+                self.params, flat, batch.device_arrays()
+            )
+            vids = unpack_videos(np.asarray(recon, np.float32), batch, ps)
+            for j, i in enumerate(group):
+                out[i] = vids[j]
+        return out
 
     def forward(self, videos, token_counts):
         """Videos -> (reconstructions, {'indices': per-sample list})
         (ref ``titok.py:68-74``)."""
-        batch = self._pack(videos, token_counts)
-        recon, aux = self._jit_forward(self.params, batch.device_arrays())
-        vids = unpack_videos(np.asarray(recon, np.float32), batch,
-                             list(self.module.patch_size))
-        return vids, {"indices": unpack_indices(np.asarray(aux["indices"]), batch)}
+        out: list = [None] * len(videos)
+        idx_out: list = [None] * len(videos)
+        for group in self._groups(videos, token_counts):
+            batch = self._pack([videos[i] for i in group],
+                               [token_counts[i] for i in group])
+            recon, aux = self._jit_forward(self.params, batch.device_arrays())
+            vids = unpack_videos(np.asarray(recon, np.float32), batch,
+                                 list(self.module.patch_size))
+            idxs = unpack_indices(np.asarray(aux["indices"]), batch)
+            for j, i in enumerate(group):
+                out[i] = vids[j]
+                idx_out[i] = idxs[j]
+        return out, {"indices": idx_out}
 
     __call__ = forward
