@@ -82,7 +82,9 @@ def segment_attention(
     """
     if impl == "auto":
         if jax.default_backend() == "tpu" and _flash_available():
-            impl = "flash"
+            # v1 is hardware-validated; flip to "flash" (mh) once the v2
+            # kernel has been timed+checked on a real chip
+            impl = "flash_v1"
         else:
             impl = "reference"
     if impl == "flash":
