@@ -11,7 +11,13 @@ the TiTok workload (few heads, head_dim 64, packed segments):
   transposes are needed — inputs come straight from the fused qkv
   projection's layout.
 - block skipping via scalar-prefetched per-block segment-id intervals,
-  as in v1.
+  as in v1 — plus **DMA elision**: Pallas prefetches every grid step's
+  blocks even under ``pl.when``, and on bandwidth-limited chips that DMA
+  dominates. Segments are contiguous, so each q row's visited kv blocks
+  form an interval ``[a_i, b_i]``; the kv index map clips ``j`` into that
+  interval, making skipped steps re-reference the previous block, which
+  Mosaic recognizes and skips the copy. kv HBM traffic drops from
+  ``nq*nk`` to ``sum_i (b_i - a_i + 1)`` blocks.
 
 Used by default on TPU; v1 remains as a reference and for odd head
 configurations.
@@ -31,7 +37,25 @@ from titok_tpu.ops.flash_attention import _block_minmax, _remap_pad
 NEG_INF = -1e30
 
 
-def _fwd_kernel(qmm, kmm, q_ref, k_ref, v_ref, segq_ref, segk_ref,
+def _overlap_ranges(qmm: jnp.ndarray, kmm: jnp.ndarray) -> jnp.ndarray:
+    """[nq, 2] int32 (first, last) kv-block index overlapping each q block.
+
+    Segment ids are non-decreasing, so the overlapping kv blocks of a q
+    block form one contiguous interval (never empty: the co-located block
+    always overlaps)."""
+    nq, nk = qmm.shape[0], kmm.shape[0]
+    ov = (kmm[None, :, 0] <= qmm[:, None, 1]) & (kmm[None, :, 1] >= qmm[:, None, 0])
+    idx = jnp.arange(nk, dtype=jnp.int32)[None, :]
+    first = jnp.min(jnp.where(ov, idx, nk), axis=1).astype(jnp.int32)
+    last = jnp.max(jnp.where(ov, idx, -1), axis=1).astype(jnp.int32)
+    return jnp.stack([first, last], axis=1)
+
+
+def _clip(j, ab, i):
+    return jnp.clip(j, ab[i, 0], ab[i, 1])
+
+
+def _fwd_kernel(qmm, kmm, ab, q_ref, k_ref, v_ref, segq_ref, segk_ref,
                 o_ref, lse_ref, acc, m_s, l_s, *, scale, n_k, hq, hkv, d):
     ik = pl.program_id(1)
     iq = pl.program_id(0)
@@ -94,18 +118,23 @@ def _mh_fwd(q2, k2, v2, seg_q, seg_k, scale, block_q, block_k, hq, hkv, d):
     segk2 = seg_k.reshape(Sk, 1)
     qmm = _block_minmax(seg_q, block_q)
     kmm = _block_minmax(seg_k, block_k)
+    ab = _overlap_ranges(qmm, kmm)
+
+    # clip the kv block index into the visited interval: skipped grid steps
+    # re-reference the previous block and Mosaic elides the DMA
+    kv_ix = lambda i, j, qmm_r, kmm_r, ab_r: (_clip(j, ab_r, i), 0)
 
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, n_k=nk, hq=hq, hkv=hkv, d=d),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(nq, nk),
             in_specs=[
                 pl.BlockSpec((block_q, hq * d), lambda i, j, *_: (i, 0)),
-                pl.BlockSpec((block_k, hkv * d), lambda i, j, *_: (j, 0)),
-                pl.BlockSpec((block_k, hkv * d), lambda i, j, *_: (j, 0)),
+                pl.BlockSpec((block_k, hkv * d), kv_ix),
+                pl.BlockSpec((block_k, hkv * d), kv_ix),
                 pl.BlockSpec((block_q, 1), lambda i, j, *_: (i, 0)),
-                pl.BlockSpec((block_k, 1), lambda i, j, *_: (j, 0)),
+                pl.BlockSpec((block_k, 1), kv_ix),
             ],
             out_specs=[
                 pl.BlockSpec((block_q, hq * d), lambda i, j, *_: (i, 0)),
@@ -124,11 +153,11 @@ def _mh_fwd(q2, k2, v2, seg_q, seg_k, scale, block_q, block_k, hq, hkv, d):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(qmm, kmm, q2, k2, v2, segq2, segk2)
+    )(qmm, kmm, ab, q2, k2, v2, segq2, segk2)
     return out, lse
 
 
-def _bwd_dq_kernel(qmm, kmm, q_ref, k_ref, v_ref, segq_ref, segk_ref,
+def _bwd_dq_kernel(qmm, kmm, ab, q_ref, k_ref, v_ref, segq_ref, segk_ref,
                    do_ref, lse_ref, delta_ref, dq_ref, dq_acc,
                    *, scale, n_k, hq, hkv, d):
     ik = pl.program_id(1)
@@ -175,7 +204,7 @@ def _bwd_dq_kernel(qmm, kmm, q_ref, k_ref, v_ref, segq_ref, segk_ref,
         dq_ref[...] = dq_acc[...].astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(qmm, kmm, q_ref, k_ref, v_ref, segq_ref, segk_ref,
+def _bwd_dkv_kernel(qmm, kmm, ab, q_ref, k_ref, v_ref, segq_ref, segk_ref,
                     do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
                     dk_acc, dv_acc, *, scale, n_q, hq, hkv, d):
     iq = pl.program_id(1)
@@ -246,18 +275,21 @@ def _mh_bwd(res, g, scale, block_q, block_k, hq, hkv, d):
         .reshape(S, hq, d).sum(-1)
     )  # [S, hq]
 
+    ab = _overlap_ranges(qmm, kmm)
+    kv_ix = lambda i, j, qmm_r, kmm_r, ab_r: (_clip(j, ab_r, i), 0)
+
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, n_k=nk, hq=hq,
                           hkv=hkv, d=d),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(nq, nk),
             in_specs=[
                 pl.BlockSpec((block_q, hq * d), lambda i, j, *_: (i, 0)),
-                pl.BlockSpec((block_k, hkv * d), lambda i, j, *_: (j, 0)),
-                pl.BlockSpec((block_k, hkv * d), lambda i, j, *_: (j, 0)),
+                pl.BlockSpec((block_k, hkv * d), kv_ix),
+                pl.BlockSpec((block_k, hkv * d), kv_ix),
                 pl.BlockSpec((block_q, 1), lambda i, j, *_: (i, 0)),
-                pl.BlockSpec((block_k, 1), lambda i, j, *_: (j, 0)),
+                pl.BlockSpec((block_k, 1), kv_ix),
                 pl.BlockSpec((block_q, hq * d), lambda i, j, *_: (i, 0)),
                 pl.BlockSpec((block_q, hq), lambda i, j, *_: (i, 0)),
                 pl.BlockSpec((block_q, hq), lambda i, j, *_: (i, 0)),
@@ -269,23 +301,26 @@ def _mh_bwd(res, g, scale, block_q, block_k, hq, hkv, d):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(qmm, kmm, q2, k2, v2, segq2, segk2, do2, lse, delta)
+    )(qmm, kmm, ab, q2, k2, v2, segq2, segk2, do2, lse, delta)
+
+    ab2 = _overlap_ranges(kmm, qmm)  # per kv row: visited q-block interval
+    q_ix = lambda i, j, qmm_r, kmm_r, ab_r: (_clip(j, ab_r, i), 0)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, n_q=nq, hq=hq,
                           hkv=hkv, d=d),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(nk, nq),
             in_specs=[
-                pl.BlockSpec((block_q, hq * d), lambda i, j, *_: (j, 0)),
+                pl.BlockSpec((block_q, hq * d), q_ix),
                 pl.BlockSpec((block_k, hkv * d), lambda i, j, *_: (i, 0)),
                 pl.BlockSpec((block_k, hkv * d), lambda i, j, *_: (i, 0)),
-                pl.BlockSpec((block_q, 1), lambda i, j, *_: (j, 0)),
+                pl.BlockSpec((block_q, 1), q_ix),
                 pl.BlockSpec((block_k, 1), lambda i, j, *_: (i, 0)),
-                pl.BlockSpec((block_q, hq * d), lambda i, j, *_: (j, 0)),
-                pl.BlockSpec((block_q, hq), lambda i, j, *_: (j, 0)),
-                pl.BlockSpec((block_q, hq), lambda i, j, *_: (j, 0)),
+                pl.BlockSpec((block_q, hq * d), q_ix),
+                pl.BlockSpec((block_q, hq), lambda i, j, qmm_r, kmm_r, ab_r: (_clip(j, ab_r, i), 0)),
+                pl.BlockSpec((block_q, hq), lambda i, j, qmm_r, kmm_r, ab_r: (_clip(j, ab_r, i), 0)),
             ],
             out_specs=[
                 pl.BlockSpec((block_k, hkv * d), lambda i, j, *_: (i, 0)),
@@ -303,7 +338,7 @@ def _mh_bwd(res, g, scale, block_q, block_k, hq, hkv, d):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(qmm, kmm, q2, k2, v2, segq2, segk2, do2, lse, delta)
+    )(qmm, kmm, ab2, q2, k2, v2, segq2, segk2, do2, lse, delta)
 
     return dq, dk, dv, None, None
 
