@@ -386,6 +386,14 @@ def flash_segment_attention(
         scale = D ** -0.5
     bq = block_q or _pick_block(S)
     bk = block_k or _pick_block(S)
-    assert S % bq == 0 and S % bk == 0, (S, bq, bk)
     seg = _remap_pad(segment_ids)
-    return _flash(q, k, v, seg, float(scale), bq, bk)
+    Sp = -(-S // bq) * bq
+    Sp = -(-Sp // bk) * bk  # multiple of both blocks
+    if Sp != S:
+        pad = Sp - S
+        q = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, pad), (0, 0), (0, 0)))
+        seg = jnp.pad(seg, ((0, pad),), constant_values=2**30 + 1)
+    out = _flash(q, k, v, seg, float(scale), bq, bk)
+    return out[:S]

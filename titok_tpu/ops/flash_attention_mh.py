@@ -378,16 +378,27 @@ def flash_segment_attention_mh(
     Hkv = k.shape[1]
     if scale is None:
         scale = D ** -0.5
-    bq = min(block_q, S)
-    while S % bq:
-        bq //= 2
-    bk = min(block_k, Sk)
-    while Sk % bk:
-        bk //= 2
     seg_q = _remap_pad(segment_ids)
     seg_k = seg_q if k_segment_ids is None else _remap_pad(k_segment_ids)
-    out = _mh(
-        q.reshape(S, Hq * D), k.reshape(Sk, Hkv * D), v.reshape(Sk, Hkv * D),
-        seg_q, seg_k, float(scale), bq, bk, Hq, Hkv, D,
-    )
-    return out.reshape(S, Hq, D)
+
+    # pad to block multiples (padding rows get a dedicated huge segment id
+    # one above the pad remap so they never attend to real rows)
+    def _pad_to(x, n, fill=0):
+        if x.shape[0] == n:
+            return x
+        widths = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    bq = min(block_q, S)
+    bk = min(block_k, Sk)
+    Sp = -(-S // bq) * bq
+    Skp = -(-Sk // bk) * bk
+    big2 = 2**30 + 1
+    q2 = _pad_to(q.reshape(S, Hq * D), Sp)
+    k2 = _pad_to(k.reshape(Sk, Hkv * D), Skp)
+    v2 = _pad_to(v.reshape(Sk, Hkv * D), Skp)
+    seg_q = _pad_to(seg_q, Sp, fill=big2)
+    seg_k = _pad_to(seg_k, Skp, fill=big2)
+
+    out = _mh(q2, k2, v2, seg_q, seg_k, float(scale), bq, bk, Hq, Hkv, D)
+    return out[:S].reshape(S, Hq, D)
