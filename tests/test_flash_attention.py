@@ -134,3 +134,21 @@ def test_mh_gradients_match_dense(rng):
     for a, b in zip(gf, gd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=1e-3)
+
+
+def test_non_divisible_length_padding(rng):
+    """Wrappers pad lengths that don't divide the block size (e.g. the
+    disc batch's S + 4*Bmax)."""
+    from titok_tpu.ops.flash_attention_mh import flash_segment_attention_mh
+
+    q, k, v, seg = _inputs(rng, S=300, segs=(120, 100, 50))
+    exp = np.asarray(segment_attention_reference(q, k, v, seg))
+    with pltpu.force_tpu_interpret_mode():
+        out_v1 = np.asarray(flash_segment_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(seg),
+            block_q=128, block_k=128))
+        out_mh = np.asarray(flash_segment_attention_mh(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(seg),
+            block_q=128, block_k=128))
+    np.testing.assert_allclose(out_v1, exp, atol=2e-5)
+    np.testing.assert_allclose(out_mh, exp, atol=2e-5)
