@@ -92,7 +92,20 @@ class Config(dict):
 
 
 def _parse_value(raw: str) -> Any:
-    """Parse a CLI override value the way OmegaConf would (YAML scalar)."""
+    """Parse a CLI override value the way OmegaConf would (YAML scalar).
+
+    YAML 1.1 treats ``1e-4`` (no dot) as a *string*; users absolutely mean
+    the float — handle numeric forms before falling back to YAML.
+    """
+    s = raw.strip()
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        pass
     try:
         return yaml.safe_load(raw)
     except yaml.YAMLError:
