@@ -38,10 +38,8 @@ NEG_INF = -1e30
 
 
 def _pick_block(S: int) -> int:
-    b = min(DEFAULT_BLOCK, S)
-    while S % b:
-        b //= 2
-    return max(b, 128) if S % max(b, 128) == 0 else b
+    """Power-of-two block <= DEFAULT_BLOCK; callers pad S up to a multiple."""
+    return min(DEFAULT_BLOCK, max(8, 1 << (S - 1).bit_length()))
 
 
 def _block_minmax(seg: jnp.ndarray, block: int) -> jnp.ndarray:

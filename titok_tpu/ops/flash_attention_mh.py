@@ -389,8 +389,11 @@ def flash_segment_attention_mh(
         widths = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, widths, constant_values=fill)
 
-    bq = min(block_q, S)
-    bk = min(block_k, Sk)
+    def _pow2_block(n, b):
+        return min(b, max(8, 1 << (n - 1).bit_length()))
+
+    bq = _pow2_block(S, block_q)
+    bk = _pow2_block(Sk, block_k)
     Sp = -(-S // bq) * bq
     Skp = -(-Sk // bk) * bk
     big2 = 2**30 + 1
