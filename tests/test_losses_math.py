@@ -46,8 +46,37 @@ def stubbed_system(rng, monkeypatch):
         B1 = d["sample_valid"].shape[0] + 1
         return _per_sample_mean(s, d["segment_ids"], d["is_patch"], B1)
 
+    def fake_stacked(disc_params, rows_list, d):
+        return jnp.stack([fake_logits(disc_params, r, d) for r in rows_list])
+
     monkeypatch.setattr(ls, "disc_logits", fake_logits)
+    monkeypatch.setattr(ls, "disc_logits_stacked", fake_stacked)
     return ls, batch, disc
+
+
+def test_stacked_disc_forward_equivalence(rng):
+    """One packed disc pass over n copies == n separate passes."""
+    import jax
+
+    cfg = tiny_config(**{"tokenizer.losses.disc_weight": 0.4})
+    ls = LossSystem(cfg)
+    vids = synthetic_videos(rng, 2)
+    batch = pack_samples(vids, [2, 3], seq_len=128, max_samples=3,
+                         patch_size=PATCH)
+    disc = build_disc_batch(batch, ls.disc_tokens)
+    darrs = disc.device_arrays()
+    params = ls.init_disc_params(jax.random.PRNGKey(0),
+                                 batch.device_arrays(), darrs)
+    rows = jnp.asarray(batch.patches, jnp.float32)
+    r0 = ls._disc_rows(rows, darrs)
+    r1 = ls._disc_rows(rows + 0.3, darrs)
+    r2 = ls._disc_rows(rows - 0.1, darrs)
+
+    stacked = np.asarray(ls.disc_logits_stacked(params, [r0, r1, r2], darrs))
+    singles = np.stack([
+        np.asarray(ls.disc_logits(params, r, darrs)) for r in (r0, r1, r2)
+    ])
+    np.testing.assert_allclose(stacked, singles, atol=2e-4, rtol=1e-4)
 
 
 def test_generator_gan_term(stubbed_system):

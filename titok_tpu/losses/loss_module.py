@@ -118,6 +118,44 @@ class LossSystem:
             out.astype(jnp.float32), disc["segment_ids"], disc["token_mask"], B1
         )
 
+    def disc_logits_stacked(self, disc_params, rows_list, disc):
+        """All n disc forwards of a step as ONE packed forward.
+
+        The reference runs up to 4 separate discriminator passes per step
+        (real/fake + the two noise-perturbed R1/R2 passes,
+        loss_module.py:177-191). Packing is already how this framework
+        batches variable content, so the n inputs are concatenated along
+        the sequence axis with per-copy segment-id offsets: one kernel
+        launch, n× the effective batch, identical math (block-diagonal
+        attention keeps copies independent). Returns ``[n, Bmax]`` logits.
+        """
+        n = len(rows_list)
+        if n == 1:
+            return self.disc_logits(disc_params, rows_list[0], disc)[None]
+        Bmax = disc["sample_valid"].shape[0]
+        B1 = Bmax + 1
+        seg = disc["segment_ids"]
+        segs = jnp.concatenate(
+            [jnp.where(seg > 0, seg + c * B1, 0) for c in range(n)]
+        )
+        rows = jnp.concatenate(rows_list, axis=0)
+        tmask = jnp.tile(disc["token_mask"], n)
+        cos = jnp.tile(disc["rope_cos"], (n, 1))
+        sin = jnp.tile(disc["rope_sin"], (n, 1))
+
+        out = self.disc_model.apply(
+            {"params": disc_params}, rows, tmask, segs, cos, sin,
+        )[:, 0]
+        all_means = _per_sample_mean(out.astype(jnp.float32), segs, tmask,
+                                     n * B1 + 1)
+        # segment c*B1 + b (b in 1..Bmax) -> after dropping segment 0 the
+        # flat index is c*B1 + b - 1; copy c's samples live at
+        # [c*B1 .. c*B1 + Bmax - 1]
+        return jnp.stack(
+            [jax.lax.dynamic_slice(all_means, (c * B1,), (Bmax,))
+             for c in range(n)]
+        )
+
     # -- generator loss ----------------------------------------------------
     def generator_loss(
         self,
@@ -163,9 +201,12 @@ class LossSystem:
         g_loss_mean = 0.0
         if self.use_disc and disc is not None:
             # disc params are frozen here simply by not differentiating them
-            real = self.disc_logits(disc_params, self._disc_rows(
-                jax.lax.stop_gradient(target_rows), disc), disc)
-            fake = self.disc_logits(disc_params, self._disc_rows(recon_f, disc), disc)
+            real, fake = self.disc_logits_stacked(
+                disc_params,
+                [self._disc_rows(jax.lax.stop_gradient(target_rows), disc),
+                 self._disc_rows(recon_f, disc)],
+                disc,
+            )
             g_loss = jax.nn.softplus(-(fake - real))
             g_loss_mean = _masked_mean(g_loss, valid)
             loss_dict["g_loss"] = g_loss_mean
@@ -196,8 +237,17 @@ class LossSystem:
         rows_real = self._disc_rows(target_rows, disc)
         rows_fake = self._disc_rows(recon_f, disc)
 
-        logits_real = self.disc_logits(disc_params, rows_real, disc)
-        logits_fake = self.disc_logits(disc_params, rows_fake, disc)
+        # all 2 (or 4 with R1/R2) disc forwards as one packed pass
+        rows_list = [rows_real, rows_fake]
+        if self.gp_weight > 0:
+            noise = (
+                jax.random.normal(rng, rows_real.shape, jnp.float32) * self.gp_noise
+            )
+            noise = jnp.where(disc["is_patch"][:, None], noise, 0.0)
+            rows_list += [rows_real + noise, rows_fake + noise]
+        logits = self.disc_logits_stacked(disc_params, rows_list, disc)
+        logits_real, logits_fake = logits[0], logits[1]
+
         logits_relative = logits_real - logits_fake
         d_loss = jax.nn.softplus(-logits_relative)
         loss_dict["d_loss"] = _masked_mean(d_loss, valid)
@@ -205,12 +255,7 @@ class LossSystem:
 
         gradient_penalty = 0.0
         if self.gp_weight > 0:
-            noise = (
-                jax.random.normal(rng, rows_real.shape, jnp.float32) * self.gp_noise
-            )
-            noise = jnp.where(disc["is_patch"][:, None], noise, 0.0)
-            logits_real_n = self.disc_logits(disc_params, rows_real + noise, disc)
-            logits_fake_n = self.disc_logits(disc_params, rows_fake + noise, disc)
+            logits_real_n, logits_fake_n = logits[2], logits[3]
             r1 = (logits_real - logits_real_n) ** 2
             r2 = (logits_fake - logits_fake_n) ** 2
             loss_dict["r1_penalty"] = _masked_mean(r1, valid)
