@@ -152,3 +152,35 @@ def test_non_divisible_length_padding(rng):
             block_q=128, block_k=128))
     np.testing.assert_allclose(out_v1, exp, atol=2e-5)
     np.testing.assert_allclose(out_mh, exp, atol=2e-5)
+
+
+def test_compressed_grid_matches_dense(rng):
+    """max_seg_len grid compression: same results, fewer iterations."""
+    from titok_tpu.ops.flash_attention_mh import flash_segment_attention_mh
+
+    q, k, v, seg = _inputs(rng, S=512, segs=tuple([60] * 8))
+    exp = np.asarray(segment_attention_reference(q, k, v, seg))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(flash_segment_attention_mh(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(seg),
+            block_q=64, block_k=64, max_seg_len=64,
+        ))
+    np.testing.assert_allclose(out, exp, atol=2e-5)
+
+    def loss(q, k, v):
+        o = flash_segment_attention_mh(q, k, v, jnp.asarray(seg),
+                                       block_q=64, block_k=64, max_seg_len=64)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    def loss_dense(q, k, v):
+        o = segment_attention_reference(q, k, v, jnp.asarray(seg))
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss, argnums=(0, 1, 2))(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    for a, b in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)

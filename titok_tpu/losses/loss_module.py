@@ -92,12 +92,15 @@ class LossSystem:
 
         self.disc_tokens = 4  # register tokens (ref loss_module.py:42)
         self.lpips = LPIPS()
+        from titok_tpu.models.titok import _config_max_seg_len
+
         self.disc_model = PackedEncoder(
             model_size=model_d.model_size,
             patch_size=self.patch_size,
             in_channels=3,
             out_channels=1,
             attn_impl=str(config.training.main.get("attn_impl", "auto")),
+            max_seg_len=_config_max_seg_len(config),
         )
 
     # -- discriminator plumbing -------------------------------------------

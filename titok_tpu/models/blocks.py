@@ -72,6 +72,7 @@ class PackedEncoder(nn.Module):
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
     remat: bool = False
+    max_seg_len: int | None = None
 
     @nn.compact
     def __call__(self, patches, token_mask, segment_ids, rope_cos, rope_sin):
@@ -96,7 +97,8 @@ class PackedEncoder(nn.Module):
         x = ResidualAttentionBlock(
             embed_dim=width, heads=heads, mlp_ratio=mlp_ratio,
             num_layer=num_layers, dtype=self.dtype, attn_impl=self.attn_impl,
-            remat=self.remat, name="model_layers",
+            max_seg_len=self.max_seg_len, remat=self.remat,
+            name="model_layers",
         )(x, rope_cos, rope_sin, segment_ids)
 
         x = RMSNorm(name="ln_post")(x)
@@ -118,6 +120,7 @@ class PackedDecoder(nn.Module):
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
     remat: bool = False
+    max_seg_len: int | None = None
 
     @nn.compact
     def __call__(self, tokens, token_mask, segment_ids, rope_cos, rope_sin):
@@ -140,7 +143,8 @@ class PackedDecoder(nn.Module):
         x = ResidualAttentionBlock(
             embed_dim=width, heads=heads, mlp_ratio=mlp_ratio,
             num_layer=num_layers, dtype=self.dtype, attn_impl=self.attn_impl,
-            remat=self.remat, name="model_layers",
+            max_seg_len=self.max_seg_len, remat=self.remat,
+            name="model_layers",
         )(x, rope_cos, rope_sin, segment_ids)
 
         x = RMSNorm(name="ln_post")(x)

@@ -54,6 +54,7 @@ class TiTok(nn.Module):
     # Pallas nearest-neighbor kernel, titok_tpu/models/vq.py)
     quantizer: str = "fsq"
     remat: bool = False
+    max_seg_len: int | None = None
     vq_codebook_size: int = 16384
     vq_dim: int = 8
     vq_commitment_weight: float = 0.25
@@ -78,6 +79,7 @@ class TiTok(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            max_seg_len=self.max_seg_len,
             name="encoder",
         )
         if self.quantizer == "fsq":
@@ -98,6 +100,7 @@ class TiTok(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            max_seg_len=self.max_seg_len,
             name="decoder",
         )
 
@@ -151,6 +154,20 @@ class TiTok(nn.Module):
         return recon, aux
 
 
+def _config_max_seg_len(config):
+    """Static bound on one packed sample's slot count: max patch grid +
+    max latent tokens (the packer never splits a clip)."""
+    try:
+        cs = config.training.sampling
+        ps = config.tokenizer.model.patch_size
+        grid = 1
+        for g, p in zip(cs.max_grid, ps):
+            grid *= g // p
+        return int(grid) + int(cs.token_range[1])
+    except (KeyError, AttributeError, TypeError):
+        return None
+
+
 def make_titok(config) -> TiTok:
     """Build a TiTok module from a framework Config (ref ``titok.py:24-45``)."""
     tm = config.tokenizer.model
@@ -167,6 +184,7 @@ def make_titok(config) -> TiTok:
         dtype=dtype,
         attn_impl=str(config.training.main.get("attn_impl", "auto")),
         remat=bool(config.training.main.get("remat", False)),
+        max_seg_len=_config_max_seg_len(config),
         quantizer=str(tm.get("quantizer", "fsq")),
         vq_codebook_size=int(vq.get("codebook_size", 16384)),
         vq_dim=int(vq.get("dim", 8)),

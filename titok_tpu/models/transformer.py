@@ -64,6 +64,9 @@ class Attn(nn.Module):
     heads: Sequence[int]  # [q_heads, kv_heads]
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    # static bound on segment length (packed-sample size); lets the flash
+    # kernel compress its kv grid to visited blocks only
+    max_seg_len: int | None = None
 
     @nn.compact
     def __call__(self, x, rope_cos, rope_sin, segment_ids):
@@ -87,7 +90,8 @@ class Attn(nn.Module):
         q = apply_rotary_emb(q, rope_cos, rope_sin)
         k = apply_rotary_emb(k, rope_cos, rope_sin)
 
-        o = segment_attention(q, k, v, segment_ids, impl=self.attn_impl)
+        o = segment_attention(q, k, v, segment_ids, impl=self.attn_impl,
+                              max_seg_len=self.max_seg_len)
         o = o.reshape(S, self.dim)
         o = o * nn.sigmoid(gate)
         return nn.Dense(
@@ -153,6 +157,7 @@ class ResidualAttentionBlock(nn.Module):
     num_layer: int = 2
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    max_seg_len: int | None = None
     # rematerialize sublayers in the backward pass (jax.checkpoint): trades
     # FLOPs for activation memory — lets big budgets/models fit HBM
     remat: bool = False
@@ -167,7 +172,8 @@ class ResidualAttentionBlock(nn.Module):
         for i in range(self.num_layer):
             attn = attn_cls(
                 self.embed_dim, self.heads, dtype=self.dtype,
-                attn_impl=self.attn_impl, name=f"attn_{i}",
+                attn_impl=self.attn_impl, max_seg_len=self.max_seg_len,
+                name=f"attn_{i}",
             )
             ffd = ffd_cls(
                 self.embed_dim, mult=self.mlp_ratio, dtype=self.dtype,

@@ -73,6 +73,7 @@ def segment_attention(
     segment_ids: jnp.ndarray,
     scale: float | None = None,
     impl: str = "auto",
+    max_seg_len: int | None = None,
 ) -> jnp.ndarray:
     """Dispatching entry point used by the transformer.
 
@@ -90,7 +91,8 @@ def segment_attention(
     if impl == "flash":
         from titok_tpu.ops.flash_attention_mh import flash_segment_attention_mh
 
-        return flash_segment_attention_mh(q, k, v, segment_ids, scale=scale)
+        return flash_segment_attention_mh(q, k, v, segment_ids, scale=scale,
+                                          max_seg_len=max_seg_len)
     if impl == "flash_v1":
         from titok_tpu.ops.flash_attention import flash_segment_attention
 

@@ -57,19 +57,20 @@ def _clip(j, ab, i):
 
 def _fwd_kernel(qmm, kmm, ab, q_ref, k_ref, v_ref, segq_ref, segk_ref,
                 o_ref, lse_ref, acc, m_s, l_s, *, scale, n_k, hq, hkv, d):
-    ik = pl.program_id(1)
+    # grid dim 1 is COMPRESSED: it counts visited kv blocks [0, kmax);
+    # the real kv block is ab[iq, 0] + jl (clipped in the index maps)
+    jl = pl.program_id(1)
     iq = pl.program_id(0)
+    kmax = pl.num_programs(1)
     rep = hq // hkv
 
-    @pl.when(ik == 0)
+    @pl.when(jl == 0)
     def _init():
         acc[...] = jnp.zeros_like(acc)
         m_s[...] = jnp.full_like(m_s, NEG_INF)
         l_s[...] = jnp.zeros_like(l_s)
 
-    overlap = jnp.logical_and(
-        kmm[ik, 0] <= qmm[iq, 1], kmm[ik, 1] >= qmm[iq, 0]
-    )
+    overlap = ab[iq, 0] + jl <= ab[iq, 1]
 
     @pl.when(overlap)
     def _compute():
@@ -100,7 +101,7 @@ def _fwd_kernel(qmm, kmm, ab, q_ref, k_ref, v_ref, segq_ref, segk_ref,
                 )
             )
 
-    @pl.when(ik == n_k - 1)
+    @pl.when(jl == kmax - 1)
     def _finish():
         l = jnp.maximum(l_s[...], 1e-30)
         for h in range(hq):
@@ -110,7 +111,8 @@ def _fwd_kernel(qmm, kmm, ab, q_ref, k_ref, v_ref, segq_ref, segk_ref,
         lse_ref[...] = m_s[...] + jnp.log(l)
 
 
-def _mh_fwd(q2, k2, v2, seg_q, seg_k, scale, block_q, block_k, hq, hkv, d):
+def _mh_fwd(q2, k2, v2, seg_q, seg_k, scale, block_q, block_k, hq, hkv, d,
+            max_kv_blocks):
     S = q2.shape[0]
     Sk = k2.shape[0]
     nq, nk = S // block_q, Sk // block_k
@@ -119,16 +121,18 @@ def _mh_fwd(q2, k2, v2, seg_q, seg_k, scale, block_q, block_k, hq, hkv, d):
     qmm = _block_minmax(seg_q, block_q)
     kmm = _block_minmax(seg_k, block_k)
     ab = _overlap_ranges(qmm, kmm)
+    kmax = min(nk, max_kv_blocks) if max_kv_blocks else nk
 
-    # clip the kv block index into the visited interval: skipped grid steps
-    # re-reference the previous block and Mosaic elides the DMA
-    kv_ix = lambda i, j, qmm_r, kmm_r, ab_r: (_clip(j, ab_r, i), 0)
+    # COMPRESSED grid: dim 1 iterates only the visited kv interval
+    # [a_i, min(a_i + kmax, b_i)]; the index map offsets + clips, so no
+    # skipped block is ever iterated or DMA'd
+    kv_ix = lambda i, j, qmm_r, kmm_r, ab_r: (_clip(ab_r[i, 0] + j, ab_r, i), 0)
 
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, n_k=nk, hq=hq, hkv=hkv, d=d),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(nq, nk),
+            grid=(nq, kmax),
             in_specs=[
                 pl.BlockSpec((block_q, hq * d), lambda i, j, *_: (i, 0)),
                 pl.BlockSpec((block_k, hkv * d), kv_ix),
@@ -160,17 +164,16 @@ def _mh_fwd(q2, k2, v2, seg_q, seg_k, scale, block_q, block_k, hq, hkv, d):
 def _bwd_dq_kernel(qmm, kmm, ab, q_ref, k_ref, v_ref, segq_ref, segk_ref,
                    do_ref, lse_ref, delta_ref, dq_ref, dq_acc,
                    *, scale, n_k, hq, hkv, d):
-    ik = pl.program_id(1)
+    jl = pl.program_id(1)
     iq = pl.program_id(0)
+    kmax = pl.num_programs(1)
     rep = hq // hkv
 
-    @pl.when(ik == 0)
+    @pl.when(jl == 0)
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    overlap = jnp.logical_and(
-        kmm[ik, 0] <= qmm[iq, 1], kmm[ik, 1] >= qmm[iq, 0]
-    )
+    overlap = ab[iq, 0] + jl <= ab[iq, 1]
 
     @pl.when(overlap)
     def _compute():
@@ -199,7 +202,7 @@ def _bwd_dq_kernel(qmm, kmm, ab, q_ref, k_ref, v_ref, segq_ref, segk_ref,
                 preferred_element_type=jnp.float32,
             )
 
-    @pl.when(ik == n_k - 1)
+    @pl.when(jl == kmax - 1)
     def _finish():
         dq_ref[...] = dq_acc[...].astype(dq_ref.dtype)
 
@@ -207,18 +210,17 @@ def _bwd_dq_kernel(qmm, kmm, ab, q_ref, k_ref, v_ref, segq_ref, segk_ref,
 def _bwd_dkv_kernel(qmm, kmm, ab, q_ref, k_ref, v_ref, segq_ref, segk_ref,
                     do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
                     dk_acc, dv_acc, *, scale, n_q, hq, hkv, d):
-    iq = pl.program_id(1)
+    jl = pl.program_id(1)
     ik = pl.program_id(0)
+    kmax = pl.num_programs(1)
     rep = hq // hkv
 
-    @pl.when(iq == 0)
+    @pl.when(jl == 0)
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    overlap = jnp.logical_and(
-        kmm[ik, 0] <= qmm[iq, 1], kmm[ik, 1] >= qmm[iq, 0]
-    )
+    overlap = ab[ik, 0] + jl <= ab[ik, 1]
 
     @pl.when(overlap)
     def _compute():
@@ -252,13 +254,13 @@ def _bwd_dkv_kernel(qmm, kmm, ab, q_ref, k_ref, v_ref, segq_ref, segk_ref,
                 preferred_element_type=jnp.float32,
             )
 
-    @pl.when(iq == n_q - 1)
+    @pl.when(jl == kmax - 1)
     def _finish():
         dk_ref[...] = dk_acc[...].astype(dk_ref.dtype)
         dv_ref[...] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _mh_bwd(res, g, scale, block_q, block_k, hq, hkv, d):
+def _mh_bwd(res, g, scale, block_q, block_k, hq, hkv, d, max_kv_blocks):
     q2, k2, v2, seg_q, seg_k, out, lse = res
     S = q2.shape[0]
     Sk = k2.shape[0]
@@ -276,14 +278,15 @@ def _mh_bwd(res, g, scale, block_q, block_k, hq, hkv, d):
     )  # [S, hq]
 
     ab = _overlap_ranges(qmm, kmm)
-    kv_ix = lambda i, j, qmm_r, kmm_r, ab_r: (_clip(j, ab_r, i), 0)
+    kmax_k = min(nk, max_kv_blocks) if max_kv_blocks else nk
+    kv_ix = lambda i, j, qmm_r, kmm_r, ab_r: (_clip(ab_r[i, 0] + j, ab_r, i), 0)
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, n_k=nk, hq=hq,
                           hkv=hkv, d=d),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(nq, nk),
+            grid=(nq, kmax_k),
             in_specs=[
                 pl.BlockSpec((block_q, hq * d), lambda i, j, *_: (i, 0)),
                 pl.BlockSpec((block_k, hkv * d), kv_ix),
@@ -304,14 +307,20 @@ def _mh_bwd(res, g, scale, block_q, block_k, hq, hkv, d):
     )(qmm, kmm, ab, q2, k2, v2, segq2, segk2, do2, lse, delta)
 
     ab2 = _overlap_ranges(kmm, qmm)  # per kv row: visited q-block interval
-    q_ix = lambda i, j, qmm_r, kmm_r, ab_r: (_clip(j, ab_r, i), 0)
+    # q blocks per kv block bounded by the same segment-length bound scaled
+    # by the block ratio (+2 boundary slop)
+    if max_kv_blocks:
+        kmax_q = min(nq, max(1, max_kv_blocks * block_k // block_q + 2))
+    else:
+        kmax_q = nq
+    q_ix = lambda i, j, qmm_r, kmm_r, ab_r: (_clip(ab_r[i, 0] + j, ab_r, i), 0)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, n_q=nq, hq=hq,
                           hkv=hkv, d=d),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(nk, nq),
+            grid=(nk, kmax_q),
             in_specs=[
                 pl.BlockSpec((block_q, hq * d), q_ix),
                 pl.BlockSpec((block_k, hkv * d), lambda i, j, *_: (i, 0)),
@@ -319,8 +328,8 @@ def _mh_bwd(res, g, scale, block_q, block_k, hq, hkv, d):
                 pl.BlockSpec((block_q, 1), q_ix),
                 pl.BlockSpec((block_k, 1), lambda i, j, *_: (i, 0)),
                 pl.BlockSpec((block_q, hq * d), q_ix),
-                pl.BlockSpec((block_q, hq), lambda i, j, qmm_r, kmm_r, ab_r: (_clip(j, ab_r, i), 0)),
-                pl.BlockSpec((block_q, hq), lambda i, j, qmm_r, kmm_r, ab_r: (_clip(j, ab_r, i), 0)),
+                pl.BlockSpec((block_q, hq), lambda i, j, qmm_r, kmm_r, ab_r: (_clip(ab_r[i, 0] + j, ab_r, i), 0)),
+                pl.BlockSpec((block_q, hq), lambda i, j, qmm_r, kmm_r, ab_r: (_clip(ab_r[i, 0] + j, ab_r, i), 0)),
             ],
             out_specs=[
                 pl.BlockSpec((block_k, hkv * d), lambda i, j, *_: (i, 0)),
@@ -343,21 +352,23 @@ def _mh_bwd(res, g, scale, block_q, block_k, hq, hkv, d):
     return dq, dk, dv, None, None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
-def _mh(q2, k2, v2, seg_q, seg_k, scale, block_q, block_k, hq, hkv, d):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _mh(q2, k2, v2, seg_q, seg_k, scale, block_q, block_k, hq, hkv, d,
+        max_kv_blocks):
     out, _ = _mh_fwd(q2, k2, v2, seg_q, seg_k, scale, block_q, block_k, hq,
-                     hkv, d)
+                     hkv, d, max_kv_blocks)
     return out
 
 
-def _mh_vjp_fwd(q2, k2, v2, seg_q, seg_k, scale, block_q, block_k, hq, hkv, d):
+def _mh_vjp_fwd(q2, k2, v2, seg_q, seg_k, scale, block_q, block_k, hq, hkv, d,
+                max_kv_blocks):
     out, lse = _mh_fwd(q2, k2, v2, seg_q, seg_k, scale, block_q, block_k, hq,
-                       hkv, d)
+                       hkv, d, max_kv_blocks)
     return out, (q2, k2, v2, seg_q, seg_k, out, lse)
 
 
-def _mh_vjp_bwd(scale, block_q, block_k, hq, hkv, d, res, g):
-    return _mh_bwd(res, g, scale, block_q, block_k, hq, hkv, d)
+def _mh_vjp_bwd(scale, block_q, block_k, hq, hkv, d, max_kv_blocks, res, g):
+    return _mh_bwd(res, g, scale, block_q, block_k, hq, hkv, d, max_kv_blocks)
 
 
 _mh.defvjp(_mh_vjp_fwd, _mh_vjp_bwd)
@@ -372,7 +383,14 @@ def flash_segment_attention_mh(
     block_q: int = 512,
     block_k: int = 512,
     k_segment_ids: jnp.ndarray | None = None,  # int32 [Sk] (defaults to q's)
+    max_seg_len: int | None = None,
 ) -> jnp.ndarray:
+    """``max_seg_len``: static upper bound on any segment's length (the
+    packer guarantees samples fit the budget; configs know
+    prod(max_grid/patch) + max token count). When given, the kv grid
+    dimension is compressed to ceil(max_seg_len/block)+1 visited blocks per
+    row — skipped blocks are never iterated. Segments longer than the bound
+    would be silently truncated, so pass a true bound."""
     S, Hq, D = q.shape
     Sk = k.shape[0]
     Hkv = k.shape[1]
@@ -403,5 +421,12 @@ def flash_segment_attention_mh(
     seg_q = _pad_to(seg_q, Sp, fill=big2)
     seg_k = _pad_to(seg_k, Skp, fill=big2)
 
-    out = _mh(q2, k2, v2, seg_q, seg_k, float(scale), bq, bk, Hq, Hkv, D)
+    max_kv_blocks = None
+    if max_seg_len is not None:
+        # a segment of length L covers at most ceil(L/bk)+1 kv blocks; +1
+        # more for the co-located block slop at both interval ends
+        max_kv_blocks = -(-int(max_seg_len) // bk) + 2
+
+    out = _mh(q2, k2, v2, seg_q, seg_k, float(scale), bq, bk, Hq, Hkv, D,
+              max_kv_blocks)
     return out[:S].reshape(S, Hq, D)
