@@ -83,9 +83,9 @@ def segment_attention(
     """
     if impl == "auto":
         if jax.default_backend() == "tpu" and _flash_available():
-            # v1 is hardware-validated; flip to "flash" (mh) once the v2
-            # kernel has been timed+checked on a real chip
-            impl = "flash_v1"
+            # mh (v2): hardware-validated bitwise vs v1; supports the
+            # compressed kv grid via max_seg_len
+            impl = "flash"
         else:
             impl = "reference"
     if impl == "flash":
