@@ -37,11 +37,11 @@ def build_bench(seq_len=6144, clip=(8, 128, 128), token_count=64, iters=20):
     from titok_tpu.models.titok import TiTok
 
     patch = (4, 8, 8)
-    model = TiTok(patch_size=patch, dtype=jnp.bfloat16, attn_impl="auto")
-
     rng = np.random.default_rng(0)
     grid = (clip[0] // patch[0]) * (clip[1] // patch[1]) * (clip[2] // patch[2])
     per = grid + token_count
+    model = TiTok(patch_size=patch, dtype=jnp.bfloat16, attn_impl="auto",
+                  max_seg_len=per)
     n = seq_len // per
     vids = [rng.uniform(-1, 1, size=(3, *clip)).astype(np.float32)
             for _ in range(n)]
