@@ -34,11 +34,44 @@ from titok_tpu.train_utils.logging import MetricsLogger
 from titok_tpu.training.train_step import TrainStepBuilder
 
 
+def synthetic_batches(config, eval=False, seed=0):
+    """Random-clip stream for data-free smoke runs
+    (``dataset.train_dataset: synthetic``)."""
+    import numpy as np
+
+    from titok_tpu.data.packing import Packer, host_dtype
+
+    cs = config.training.sampling
+    ps = list(config.tokenizer.model.patch_size)
+    rng = np.random.default_rng(seed)
+
+    def stream():
+        n = 0
+        limit = int(config.training.eval.eval_samples) if eval else None
+        while limit is None or n < limit:
+            dims = [int(rng.integers(lo // p, hi // p + 1)) * p
+                    for lo, hi, p in zip(cs.min_grid, cs.max_grid, ps)]
+            yield {"video": rng.uniform(
+                -1, 1, size=[3] + dims).astype(np.float32), "fps": 4}
+            n += 1
+
+    packer = Packer(
+        seq_len=int(cs.eval_seq_len if eval else cs.train_seq_len),
+        token_range=cs.token_range, patch_size=ps, min_grid=cs.min_grid,
+        dtype=host_dtype(config.training.main.precision), rng=rng,
+        flush_final=eval,
+    )
+    yield from packer(stream())
+
+
 def select_data_backend(config):
-    """Dataset backend by file extension (reference ``train.py:254-261``)."""
+    """Dataset backend by file extension (reference ``train.py:254-261``),
+    plus ``synthetic`` for data-free smoke runs."""
     path = str(config.dataset.train_dataset)
+    if path == "synthetic":
+        return synthetic_batches
     ext = path[-4:]
-    if config.dataset.eval_dataset:
+    if config.dataset.eval_dataset and str(config.dataset.eval_dataset) != "synthetic":
         assert str(config.dataset.eval_dataset)[-4:] == ext, (
             "train and eval datasets must share format"
         )
