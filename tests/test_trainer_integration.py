@@ -93,3 +93,17 @@ def test_backend_selection(csv_file):
     from titok_tpu.data.wds_dataset import wds_batches
 
     assert select_data_backend(cfg) is wds_batches
+
+
+def test_synthetic_backend_selection():
+    from tests.util import tiny_config
+    from titok_tpu.training.trainer import select_data_backend, synthetic_batches
+
+    cfg = tiny_config()
+    cfg.set_dotted("dataset.train_dataset", "synthetic")
+    cfg.set_dotted("dataset.eval_dataset", "synthetic")
+    assert select_data_backend(cfg) is synthetic_batches
+    batch = next(iter(synthetic_batches(cfg, eval=False, seed=0)))
+    assert batch.num_samples >= 1
+    evals = list(synthetic_batches(cfg, eval=True, seed=0))
+    assert sum(b.num_samples for b in evals) >= 1
