@@ -27,7 +27,12 @@ Usage:
 from __future__ import annotations
 
 import re
+import os
 import sys
+
+# allow running as `python tools/<name>.py` from the repo root: python puts
+# tools/ on sys.path, not the cwd
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -20,6 +20,11 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
+
+# allow running as `python tools/<name>.py` from the repo root: python puts
+# tools/ on sys.path, not the cwd
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
