@@ -15,7 +15,32 @@ import copy
 import json
 from typing import Any, Mapping
 
+import re
+
 import yaml
+
+
+class _Loader(yaml.SafeLoader):
+    """SafeLoader + YAML-1.2-style float resolution: YAML 1.1 parses
+    ``1e-4`` (no dot) as a *string*; configs absolutely mean the float."""
+
+
+_Loader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(
+        r"""^(?:[-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+        |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+        |\.[0-9][0-9_]*(?:[eE][-+]?[0-9]+)?
+        |[-+]?\.(?:inf|Inf|INF)
+        |\.(?:nan|NaN|NAN))$""",
+        re.X,
+    ),
+    list("-+0123456789."),
+)
+
+
+def yaml_load(text):
+    return yaml.load(text, Loader=_Loader)
 
 
 class Config(dict):
@@ -107,7 +132,7 @@ def _parse_value(raw: str) -> Any:
     except ValueError:
         pass
     try:
-        return yaml.safe_load(raw)
+        return yaml_load(raw)
     except yaml.YAMLError:
         return raw
 
@@ -126,7 +151,7 @@ def parse_cli_overrides(argv: list[str]) -> Config:
 def load_config(path: str, overrides: list[str] | None = None) -> Config:
     """Load a YAML config file and merge dotted CLI overrides over it."""
     with open(path) as f:
-        cfg = Config(yaml.safe_load(f) or {})
+        cfg = Config(yaml_load(f.read()) or {})
     if overrides:
         cfg.merge(parse_cli_overrides(overrides))
     return cfg
