@@ -136,3 +136,45 @@ def test_config_cli():
     import yaml
 
     assert C(yaml.safe_load(cfg.to_yaml())).a.b == 2
+
+
+def test_stacked_disc_with_flash_kernel(rng):
+    """Regression: the stacked disc pass must keep segment ids sorted or
+    the flash kernel's interval compression misses blocks (found as NaN
+    grads on TPU with real-pipeline batches)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = tiny_config(**{
+        "tokenizer.losses.disc_weight": 0.4,
+        "training.main.attn_impl": "flash",
+    })
+    ls = LossSystem(cfg)
+    vids = synthetic_videos(rng, 2)
+    batch = pack_samples(vids, [2, 3], seq_len=128, max_samples=16,
+                         patch_size=PATCH)
+    disc = build_disc_batch(batch, ls.disc_tokens)
+    darrs = disc.device_arrays()
+    with pltpu.force_tpu_interpret_mode():
+        params = ls.init_disc_params(jax.random.PRNGKey(0),
+                                     batch.device_arrays(), darrs)
+        rows = jnp.asarray(batch.patches, jnp.float32)
+        r = [ls._disc_rows(rows + 0.1 * i, darrs) for i in range(4)]
+        stacked = np.asarray(ls.disc_logits_stacked(params, r, darrs))
+        assert np.isfinite(stacked).all()
+
+        def loss(dp):
+            logits = ls.disc_logits_stacked(dp, r, darrs)
+            return (logits**2).sum()
+
+        g = jax.grad(loss)(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(x, np.float32)).all() for x in leaves)
+
+    # values match the reference-attention singles
+    cfg2 = tiny_config(**{"tokenizer.losses.disc_weight": 0.4})
+    ls2 = LossSystem(cfg2)
+    singles = np.stack([
+        np.asarray(ls2.disc_logits(params, x, darrs)) for x in r
+    ])
+    # 4 KEEL layers (alpha=8) compound the kernel's ~2e-5 block-order noise
+    np.testing.assert_allclose(stacked, singles, atol=1e-3, rtol=1e-3)

@@ -137,9 +137,16 @@ class LossSystem:
             return self.disc_logits(disc_params, rows_list[0], disc)[None]
         Bmax = disc["sample_valid"].shape[0]
         B1 = Bmax + 1
+        # INVARIANT: the flash kernel's block-skip compression requires
+        # segment ids to be non-decreasing along the buffer. Each copy's
+        # layout is [samples..., pads], so give copy c's pads the id right
+        # AFTER its samples (c*stride + B1) instead of 0 — pads still only
+        # attend pads of their own copy, and the stacked vector stays sorted.
+        stride = B1 + 1
         seg = disc["segment_ids"]
         segs = jnp.concatenate(
-            [jnp.where(seg > 0, seg + c * B1, 0) for c in range(n)]
+            [jnp.where(seg > 0, seg + c * stride, B1 + c * stride)
+             for c in range(n)]
         )
         rows = jnp.concatenate(rows_list, axis=0)
         tmask = jnp.tile(disc["token_mask"], n)
@@ -150,12 +157,12 @@ class LossSystem:
             {"params": disc_params}, rows, tmask, segs, cos, sin,
         )[:, 0]
         all_means = _per_sample_mean(out.astype(jnp.float32), segs, tmask,
-                                     n * B1 + 1)
-        # segment c*B1 + b (b in 1..Bmax) -> after dropping segment 0 the
-        # flat index is c*B1 + b - 1; copy c's samples live at
-        # [c*B1 .. c*B1 + Bmax - 1]
+                                     n * stride + 1)
+        # segment c*stride + b (b in 1..Bmax) -> flat index c*stride + b - 1
+        # after dropping segment 0; the pad segment (b = B1) lands just past
+        # each copy's slice
         return jnp.stack(
-            [jax.lax.dynamic_slice(all_means, (c * B1,), (Bmax,))
+            [jax.lax.dynamic_slice(all_means, (c * stride,), (Bmax,))
              for c in range(n)]
         )
 

@@ -378,7 +378,8 @@ def flash_segment_attention_mh(
     q: jnp.ndarray,  # [Sq, Hq, D]
     k: jnp.ndarray,  # [Sk, Hkv, D]
     v: jnp.ndarray,
-    segment_ids: jnp.ndarray,       # int32 [Sq]
+    segment_ids: jnp.ndarray,       # int32 [Sq] — MUST be non-decreasing
+                                    # (0 = pad, may only appear at the end)
     scale: float | None = None,
     block_q: int = 512,
     block_k: int = 512,
