@@ -111,3 +111,27 @@ def test_image_metric_calculator(rng):
     mc.update(a + 0.1, a)
     out = mc.compute()
     assert "psnr" in out and "ssim" in out
+
+
+def test_device_psnr_matches_host(rng):
+    """Packed device-side PSNR stats == host PSNR over unpacked clips."""
+    import jax
+
+    from titok_tpu.data.packing import pack_samples, unpack_videos
+    from titok_tpu.metrics.psnr_device import packed_psnr_stats, psnr_from_stats
+
+    vids = [rng.uniform(-1, 1, size=(3, 4, 8, 8)).astype(np.float32)
+            for _ in range(2)]
+    batch = pack_samples(vids, [2, 3], seq_len=64, max_samples=4,
+                         patch_size=(2, 4, 4))
+    recon_rows = batch.patches.astype(np.float32) + rng.normal(
+        scale=0.1, size=batch.patches.shape).astype(np.float32)
+
+    sse, cnt = jax.jit(packed_psnr_stats)(recon_rows, batch.device_arrays())
+    dev = psnr_from_stats(float(sse), float(cnt))
+
+    host = PSNRMetric(2.0)
+    recons = unpack_videos(np.clip(recon_rows, -1, 1), batch, (2, 4, 4))
+    for r, t in zip(recons, vids):
+        host.update(r, t)
+    np.testing.assert_allclose(dev, host.compute(), rtol=1e-5)
