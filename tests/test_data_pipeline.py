@@ -108,3 +108,64 @@ def test_wds_rejects_remote():
     cfg.set_dotted("dataset.train_dataset", "hf://datasets/foo/{000..001}.tar")
     with pytest.raises(Exception, match="egress|remote"):
         next(wds_batches(cfg, eval=False))
+
+
+def _batch_fingerprint(b):
+    return (
+        b.patches.tobytes(), b.segment_ids.tobytes(), b.token_mask.tobytes(),
+        b.token_counts.tobytes(), b.grids.tobytes(),
+    )
+
+
+def test_csv_workers_deterministic(csv_file):
+    """The parallel decode stream must be a pure function of the seed:
+    round-robin fan-in makes batch order independent of thread timing."""
+    cfg = _data_config(csv_file)
+    cfg.set_dotted("dataset.workers", 3)
+    runs = []
+    for _ in range(2):
+        it = csv_batches(cfg, eval=False, seed=7)
+        runs.append([_batch_fingerprint(next(it)) for _ in range(5)])
+    assert runs[0] == runs[1]
+
+
+def test_csv_workers_valid_batches(csv_file):
+    cfg = _data_config(csv_file)
+    cfg.set_dotted("dataset.workers", 2)
+    it = csv_batches(cfg, eval=False, seed=0)
+    for _ in range(3):
+        b = next(it)
+        assert b.num_samples >= 1
+        assert int(b.token_counts.sum() + b.grid_sizes.sum()) <= 256
+
+
+def test_wds_workers_deterministic(video_dir, tmp_path_factory, csv_file):
+    out = str(tmp_path_factory.mktemp("shards_w"))
+    convert(video_dir, out, shard_size=2)
+    cfg = _data_config(csv_file)
+    spec = os.path.join(out, "{00000..00001}.tar")
+    cfg.set_dotted("dataset.train_dataset", spec)
+    cfg.set_dotted("dataset.eval_dataset", spec)
+    cfg.set_dotted("dataset.workers", 2)
+    runs = []
+    for _ in range(2):
+        it = wds_batches(cfg, eval=False, seed=3)
+        runs.append([_batch_fingerprint(next(it)) for _ in range(4)])
+    assert runs[0] == runs[1]
+
+
+def test_worker_pool_merges_all_and_propagates_errors():
+    from titok_tpu.data.workers import WorkerPool
+
+    pool = WorkerPool([lambda: iter([0, 2, 4]), lambda: iter([1, 3])])
+    assert list(pool) == [0, 1, 2, 3, 4]
+
+    def boom():
+        yield 1
+        raise RuntimeError("decode exploded")
+
+    pool = WorkerPool([boom])
+    it = iter(pool)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        next(it)

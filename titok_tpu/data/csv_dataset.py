@@ -56,7 +56,22 @@ def csv_batches(config, eval: bool = False, seed: int = 0,
                else config.dataset.train_dataset)
     paths = read_csv_paths(ds_path)
 
-    chunks = _chunk_stream(paths, cs, patch_size, rng, eval)
+    workers = int(config.dataset.get("workers", 0) or 0)
+    if workers >= 1:
+        # N parallel decode threads, deterministic round-robin merge
+        # (reference num_workers, dataset/video_dataset.py:210-214)
+        from titok_tpu.data.workers import WorkerPool, worker_seeds
+
+        seeds = worker_seeds(seed, workers)
+
+        def factory(w):
+            return lambda: _chunk_stream(
+                paths, cs, patch_size, np.random.default_rng(seeds[w]), eval
+            )
+
+        chunks = iter(WorkerPool([factory(w) for w in range(workers)]))
+    else:
+        chunks = _chunk_stream(paths, cs, patch_size, rng, eval)
     if eval:
         max_samples = int(config.training.eval.eval_samples)
 

@@ -119,10 +119,31 @@ def wds_batches(config, eval: bool = False, seed: int = 0) -> Iterator[PackedBat
             else config.dataset.train_dataset)
     shards = expand_shards(spec)
 
-    samples = _sample_stream(shards, rng, resample=not eval)
-    if not eval:
-        samples = chunk_shuffle_buffer(samples, 8, rng)  # wds.shuffle(8)
-    chunks = _video_chunks(samples, cs, patch_size, rng, eval)
+    workers = min(int(config.dataset.get("workers", 0) or 0), len(shards))
+    if workers >= 1:
+        # split_by_worker + N decode threads (ref video_dataset.py:190,210-214)
+        # with a deterministic round-robin merge; each worker owns the shard
+        # slice shards[w::workers] and an independent rng stream.
+        from titok_tpu.data.workers import WorkerPool, worker_seeds
+
+        seeds = worker_seeds(seed, workers)
+
+        def factory(w):
+            def stream():
+                wrng = np.random.default_rng(seeds[w])
+                s = _sample_stream(shards[w::workers], wrng, resample=not eval)
+                if not eval:
+                    s = chunk_shuffle_buffer(s, 8, wrng)
+                return _video_chunks(s, cs, patch_size, wrng, eval)
+
+            return stream
+
+        chunks = iter(WorkerPool([factory(w) for w in range(workers)]))
+    else:
+        samples = _sample_stream(shards, rng, resample=not eval)
+        if not eval:
+            samples = chunk_shuffle_buffer(samples, 8, rng)  # wds.shuffle(8)
+        chunks = _video_chunks(samples, cs, patch_size, rng, eval)
     if eval:
         max_samples = int(config.training.eval.eval_samples)
 
