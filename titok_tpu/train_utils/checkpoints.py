@@ -62,18 +62,63 @@ class CheckpointManager:
         self.mgr.close()
 
 
-def restore_weights_only(path: str, state: Any) -> Any:
+def _merge_by_key(dst: Any, src: Any, prefix: str, report: dict) -> Any:
+    """Torch ``load_state_dict(strict=False)`` semantics over nested dicts:
+    keys present in both (with matching leaf shapes) come from ``src``;
+    keys missing from ``src`` (or shape-mismatched) keep ``dst`` and are
+    reported; extra ``src`` keys are ignored."""
+    if isinstance(dst, dict):
+        out = {}
+        src_d = src if isinstance(src, dict) else {}
+        for k, v in dst.items():
+            if k in src_d:
+                out[k] = _merge_by_key(v, src_d[k], f"{prefix}/{k}", report)
+            else:
+                report["missing"].append(f"{prefix}/{k}")
+                out[k] = v
+        for k in src_d:
+            if k not in dst:
+                report["unexpected"].append(f"{prefix}/{k}")
+        return out
+    # leaf
+    if hasattr(src, "shape") and hasattr(dst, "shape") and \
+            tuple(src.shape) == tuple(dst.shape):
+        report["loaded"] += 1
+        import jax.numpy as jnp
+
+        return jnp.asarray(src, dst.dtype)
+    report["mismatched"].append(prefix)
+    return dst
+
+
+def restore_weights_only(path: str, state: Any, verbose: bool = True) -> Any:
     """init_from_checkpoint mode: load gen (+disc if present) params from a
     checkpoint directory into an existing TrainState, keeping optimizer
-    state and step fresh (ref ``train.py:265-267``, strict=False)."""
+    state and step fresh.
+
+    Tolerant like the reference's ``strict=False`` load
+    (``/root/reference/train.py:265-267``): the checkpoint is restored
+    *without* a structure template and intersected by key — a disc-off
+    checkpoint loads cleanly into a disc-on state (and vice versa), missing
+    and shape-mismatched keys keep their fresh initialization.
+    """
     path = os.path.abspath(path)
     # CheckpointManager writes items under <step>/default/
     if os.path.isdir(os.path.join(path, "default")):
         path = os.path.join(path, "default")
     ckptr = ocp.StandardCheckpointer()
-    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, state)
-    loaded = ckptr.restore(path, abstract)
-    return state.replace(
-        gen_params=loaded.gen_params,
-        disc_params=loaded.disc_params,
+    raw = ckptr.restore(path)  # nested dicts, no template required
+    report = {"loaded": 0, "missing": [], "unexpected": [], "mismatched": []}
+    gen_params = _merge_by_key(
+        state.gen_params, raw.get("gen_params", {}), "gen", report
     )
+    disc_params = _merge_by_key(
+        state.disc_params, raw.get("disc_params", {}), "disc", report
+    )
+    if verbose:
+        msg = f"init_from_checkpoint: {report['loaded']} tensors loaded"
+        for k in ("missing", "unexpected", "mismatched"):
+            if report[k]:
+                msg += f"; {len(report[k])} {k} (kept init): {report[k][:4]}"
+        print(msg)
+    return state.replace(gen_params=gen_params, disc_params=disc_params)
