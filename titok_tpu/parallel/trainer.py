@@ -118,23 +118,40 @@ class DataParallelTrainer(Trainer):
         return state
 
     def validate_dp(self, state, step_num: int):
-        """Eval on stacked singleton batches (replicated params)."""
+        """Mesh-parallel eval: batches grouped D at a time, sharded along
+        the ``data`` axis, one jitted program evals all D per step (a
+        short final group is padded by repeating its last batch; padded
+        rows never reach the metrics)."""
         from titok_tpu.data.packing import unpack_videos
 
+        sharding = batch_sharding(self.mesh)
+
+        def flush(group):
+            n_real = len(group)
+            padded = group + [group[-1]] * (self.n_devices - n_real)
+            stacked = stack_trees([b.device_arrays() for b in padded])
+            dev = jax.device_put(stacked, sharding)
+            recon_rows, _ = self._eval_step(
+                state.gen_params, dev, state.vq_state or None
+            )
+            recon_host = np.asarray(recon_rows, np.float32)
+            for d in range(n_real):
+                recon = unpack_videos(recon_host[d], group[d], self.patch_size)
+                target = unpack_videos(
+                    np.asarray(group[d].patches, np.float32), group[d],
+                    self.patch_size,
+                )
+                self.eval_metrics.update(recon, target)
+
+        group: list = []
         for batch in self.batches_fn(self.config, eval=True, seed=0):
-            arrs = jax.tree_util.tree_map(
-                lambda x: x[None], batch.device_arrays()
-            )
-            recon_rows, _ = jax.vmap(
-                lambda b: self.model.apply({"params": state.gen_params}, b)
-            )(arrs)
-            recon = unpack_videos(
-                np.asarray(recon_rows[0], np.float32), batch, self.patch_size
-            )
-            target = unpack_videos(
-                np.asarray(batch.patches, np.float32), batch, self.patch_size
-            )
-            self.eval_metrics.update(recon, target)
+            group.append(batch)
+            if len(group) == self.n_devices:
+                flush(group)
+                group = []
+        if group:
+            flush(group)
+
         scores = self.eval_metrics.compute()
         self.eval_metrics.reset()
         self.logger.log_metrics(scores, step_num)
