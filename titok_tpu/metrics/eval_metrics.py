@@ -17,10 +17,14 @@ from titok_tpu.metrics.psnr_ssim import PSNRMetric, SSIMMetric
 
 
 class EvalMetrics:
-    def __init__(self, config, eval_prefix: str = "eval"):
+    def __init__(self, config, eval_prefix: str = "eval", skip=()):
+        """``skip``: metric names handled elsewhere (e.g. accumulated on
+        device inside the jitted eval step) — excluded from this host hub."""
         self.eval_prefix = eval_prefix
         self.metrics: dict[str, tuple[object, str]] = {}
         for m in config.training.eval.log_metrics:
+            if m in skip:
+                continue
             if m == "psnr":
                 self.metrics[m] = (PSNRMetric(data_range=2.0), "image")
             elif m == "ssim":

@@ -125,6 +125,61 @@ def build_perceptual_plan(
     return PerceptualPlan(gather_idx, r0, scale, translation, weight)
 
 
+def build_eval_frame_plan(
+    batch,
+    *,
+    num_frames: int,
+    patch_size: Sequence[int],
+    max_grid_hw: Sequence[int],
+) -> PerceptualPlan:
+    """Deterministic plan gathering ALL frames of every valid sample
+    (identity scale, no crop) for device-side eval metrics. ``num_frames``
+    is the static buffer size (use :func:`max_eval_frames`); unused slots
+    have weight 0. Frame pixel sizes ride in ``scale`` as (H, W) so the
+    device SSIM can mask padding."""
+    from titok_tpu.data.packing import sample_offsets
+
+    p0, p1, p2 = patch_size
+    GH = max_grid_hw[0] // p1
+    GW = max_grid_hw[1] // p2
+    K = num_frames
+
+    gather_idx = np.zeros((K, GH, GW), np.int32)
+    r0 = np.zeros((K,), np.int32)
+    hw = np.ones((K, 2), np.float32)
+    translation = np.zeros((K, 2), np.float32)
+    weight = np.zeros((K,), np.float32)
+
+    offs = sample_offsets(batch.token_counts, batch.grid_sizes)
+    ki = 0
+    for b in range(batch.num_samples):
+        gt, gh, gw = (int(x) for x in batch.grids[b])
+        patch_start = int(offs[b]) + int(batch.token_counts[b])
+        hh = np.minimum(np.arange(GH), gh - 1)
+        ww = np.minimum(np.arange(GW), gw - 1)
+        base = patch_start + hh[:, None] * gw + ww[None, :]
+        for t in range(gt * p0):
+            assert ki < K, (
+                f"eval frame buffer too small: {ki+1} frames > {K}; "
+                "raise num_frames (see max_eval_frames)"
+            )
+            gather_idx[ki] = base + (t // p0) * (gh * gw)
+            r0[ki] = t % p0
+            hw[ki] = (gh * p1, gw * p2)
+            weight[ki] = 1.0
+            ki += 1
+    return PerceptualPlan(gather_idx, r0, hw, translation, weight)
+
+
+def max_eval_frames(seq_len: int, min_grid: Sequence[int],
+                    patch_size: Sequence[int]) -> int:
+    """Static bound on pixel frames in one packed batch: the budget filled
+    with minimal-HW samples maximizes frames per slot."""
+    p0, p1, p2 = patch_size
+    min_hw_slots = (min_grid[1] // p1) * (min_grid[2] // p2)
+    return max(p0, (seq_len // min_hw_slots + 1) * p0)
+
+
 def gather_frames(
     patch_rows: jnp.ndarray,  # [S, P] with P = p0*p1*p2*C (channel fastest)
     plan: dict,

@@ -30,6 +30,12 @@ class DataParallelTrainer(Trainer):
         self.n_devices = int(config.training.main.get("train_devices", 1))
         self.mesh = make_mesh(self.n_devices)
         self.builder = DPTrainStepBuilder(self.model, self.loss_system, config)
+        # DP eval parallelizes the forward across the mesh; image metrics
+        # stay on the host hub here (device_im is a single-chip fast path)
+        from titok_tpu.metrics.eval_metrics import EvalMetrics
+
+        self.device_im = ()
+        self.eval_metrics = EvalMetrics(config)
 
     def _stacked_batches(self, seed: int) -> Iterator[tuple]:
         """Group the packed stream into [D, ...] stacked device arrays."""
