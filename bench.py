@@ -70,6 +70,8 @@ def build_bench(seq_len=6144, clip=(8, 128, 128), token_count=64, iters=20):
 
 LAST_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "BENCH_LAST.json")
+TRAIN_LAST_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_TRAIN_LAST.json")
 WATCHDOG_S = int(os.environ.get("TITOK_BENCH_TIMEOUT", "480"))
 
 
@@ -95,6 +97,111 @@ def _watchdog():
     t.daemon = True
     t.start()
     return t
+
+
+def _bench_config(seq_len, token_range):
+    """tiny.yaml-shaped config for the train-step benchmarks."""
+    from titok_tpu.config import Config
+
+    return Config({
+        "general": {"wandb": {}, "checkpoints": {}},
+        "tokenizer": {
+            "model": {"patch_size": [4, 8, 8], "fsq_levels": [7, 5, 5, 5, 5],
+                      "encoder_size": "tiny", "decoder_size": "tiny"},
+            "losses": {"disc_weight": 0.0, "perceptual_weight": 0.0,
+                       "gram_weight": 0.0, "perceptual_samples_per_step": 2,
+                       "perceptual_sampling_size": 128},
+        },
+        "discriminator": {
+            "model": {"patch_size": [4, 8, 8], "model_size": "tiny"},
+            "losses": {"gp_weight": 0.1, "gp_noise": 0.1,
+                       "centering_weight": 0.01},
+        },
+        "optimizer": {"learning_rate": 1e-4, "end_lr": 1e-5, "beta1": 0.9,
+                      "beta2": 0.95, "warmup_steps": 10, "weight_decay": 1e-4,
+                      "disc_lr_ratio": 1.0},
+        "dataset": {"train_dataset": "synthetic", "eval_dataset": "synthetic"},
+        "training": {
+            "sampling": {"token_range": list(token_range),
+                         "min_grid": [8, 128, 128], "max_grid": [8, 128, 128],
+                         "fps_range": [3, 5], "max_aspect_ratio": 2,
+                         "min_scale": 0.8, "train_seq_len": seq_len,
+                         "eval_seq_len": seq_len},
+            "main": {"max_steps": 1000, "precision": "bf16-mixed", "seed": 0,
+                     "max_grad_norm": 1.0, "attn_impl": "auto"},
+            "eval": {"eval_step_interval": 0, "eval_samples": 0,
+                     "log_codebook": False, "log_metrics": [],
+                     "log_recon_num": 0, "random_recon": False},
+        },
+    })
+
+
+def bench_train(seq_len=6144, clip=(8, 128, 128), token_count=64, iters=10):
+    """Train-step throughput (VERDICT r1 weak #8): L1-only and L1+GAN
+    clips/sec/chip, scan-chained like the forward bench. Each variant gets
+    its own watchdog so a relay wedge mid-train-bench still emits the last
+    recorded value; results go to stderr as one JSON line per variant,
+    keeping the stdout single-line contract."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from titok_tpu.data.packing import build_disc_batch, pack_samples
+    from titok_tpu.losses.loss_module import LossSystem
+    from titok_tpu.models.titok import make_titok
+    from titok_tpu.training.train_step import TrainStepBuilder
+
+    patch = (4, 8, 8)
+    rng = np.random.default_rng(0)
+    grid = (clip[0] // patch[0]) * (clip[1] // patch[1]) * (clip[2] // patch[2])
+    per = grid + token_count
+    n = seq_len // per
+    vids = [rng.uniform(-1, 1, size=(3, *clip)).astype(np.float32)
+            for _ in range(n)]
+    batch = pack_samples(vids, [token_count] * n, seq_len=seq_len,
+                         max_samples=max(n, 1), patch_size=patch)
+
+    results = {}
+    for name, disc_weight in (("L1", 0.0), ("L1+GAN", 0.4)):
+        cfg = _bench_config(seq_len, (token_count, token_count))
+        cfg.set_dotted("tokenizer.losses.disc_weight", disc_weight)
+        model = make_titok(cfg)
+        ls = LossSystem(cfg)
+        builder = TrainStepBuilder(model, ls, cfg)
+        disc = build_disc_batch(batch, ls.disc_tokens) if ls.use_disc else None
+        arrs = jax.device_put(batch.device_arrays())
+        disc_arrs = (jax.device_put(disc.device_arrays())
+                     if disc is not None else None)
+        state = builder.init_state(jax.random.PRNGKey(0), arrs, disc_arrs)
+        step_fn = builder.make_train_step({})
+
+        @jax.jit
+        def chained(state, arrs, disc_arrs):
+            def body(st, _):
+                st, metrics, _ = step_fn(st, arrs, disc_arrs, None)
+                return st, metrics["gen/total_loss"]
+
+            st, losses = jax.lax.scan(body, state, None, length=iters)
+            return losses[-1]
+
+        # warmup (compile) + timed run, both force completion via fetch
+        _ = np.asarray(chained(state, arrs, disc_arrs))
+        t0 = time.perf_counter()
+        _ = np.asarray(chained(state, arrs, disc_arrs))
+        dt = time.perf_counter() - t0
+
+        clips_per_sec = n * iters / dt
+        line = {
+            "metric": f"clips/sec/chip train-step {name} (tiny cfg, "
+                      f"{clip[0]}x{clip[1]}^2 clips, seq {seq_len})",
+            "value": round(clips_per_sec, 3),
+            "unit": "clips/sec/chip",
+            "step_ms": round(dt / iters * 1e3, 2),
+        }
+        results[name] = line
+        print(json.dumps(line), file=sys.stderr, flush=True)
+    return results
 
 
 def main():
@@ -135,7 +242,33 @@ def main():
         "vs_baseline": round(vs, 4),
     }
     json.dump(result, open(LAST_PATH, "w"))
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+
+    # train-step metrics (stderr; own watchdog so a wedge can't retract the
+    # already-printed stdout line)
+    if os.environ.get("TITOK_BENCH_TRAIN", "1") != "0":
+        import sys
+
+        def train_fallback():
+            note = {"metric": "train-step bench", "value": 0.0,
+                    "note": "TPU relay unreachable during train bench"}
+            if os.path.exists(TRAIN_LAST_PATH):
+                note = json.load(open(TRAIN_LAST_PATH))
+                note["note"] = ("relay unreachable; last recorded train "
+                                "measurement")
+            print(json.dumps(note), file=sys.stderr, flush=True)
+            os._exit(0)
+
+        import threading
+
+        t = threading.Timer(WATCHDOG_S, train_fallback)
+        t.daemon = True
+        t.start()
+        try:
+            results = bench_train()
+            json.dump(results, open(TRAIN_LAST_PATH, "w"))
+        finally:
+            t.cancel()
 
 
 if __name__ == "__main__":
