@@ -1,0 +1,146 @@
+"""Context parallelism in the REAL train step (VERDICT r1 next #4):
+the full GAN train step with every packed buffer sharded 4-way along a
+'seq' mesh axis must produce the same updates as the single-device step
+on the same global batch."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.util import PATCH, synthetic_videos, tiny_config
+from titok_tpu.data.packing import build_disc_batch, pack_samples
+from titok_tpu.losses.loss_module import LossSystem
+from titok_tpu.models.titok import make_titok
+from titok_tpu.parallel.cp import make_cp_mesh, shard_packed_tree
+from titok_tpu.training.train_step import TrainStepBuilder
+
+N_SHARDS = 4
+
+
+def _global_batch(rng, seq=256):
+    vids = synthetic_videos(rng, 4)
+    return pack_samples(vids, [5, 9, 3, 2], seq_len=seq, max_samples=8,
+                        patch_size=PATCH)
+
+
+def _cfg():
+    return tiny_config(**{
+        "tokenizer.losses.disc_weight": 0.4,
+        "training.sampling.train_seq_len": 256,
+    })
+
+
+def test_cp_train_step_equals_single(rng):
+    cfg = _cfg()
+    mesh = make_cp_mesh(N_SHARDS)
+
+    batch = _global_batch(rng)
+    # one disc plan for both paths; padded so [Sd] divides the mesh
+    disc = build_disc_batch(batch, disc_tokens=4, pad_to=N_SHARDS)
+    assert disc.segment_ids.shape[0] % N_SHARDS == 0
+
+    model_1 = make_titok(cfg)
+    ls_1 = LossSystem(cfg)
+    b1 = TrainStepBuilder(model_1, ls_1, cfg)
+    state = b1.init_state(jax.random.PRNGKey(0), batch.device_arrays(),
+                          disc.device_arrays())
+    step_1 = jax.jit(b1.make_train_step({}), donate_argnums=())
+    s1, m1, idx1 = step_1(state, batch.device_arrays(),
+                          disc.device_arrays(), None)
+
+    model_cp = make_titok(cfg, cp_mesh=mesh)
+    ls_cp = LossSystem(cfg, cp_mesh=mesh)
+    bcp = TrainStepBuilder(model_cp, ls_cp, cfg)
+    bcp.make_optimizers()
+    step_cp = jax.jit(bcp.make_train_step({}), donate_argnums=())
+    arrs_cp = shard_packed_tree(batch.device_arrays(), mesh)
+    disc_cp = shard_packed_tree(disc.device_arrays(), mesh)
+    scp, mcp, idxcp = step_cp(state, arrs_cp, disc_cp, None)
+
+    # metrics agree
+    for k in ("gen/total_loss", "gen/recon_loss", "gen/g_loss",
+              "disc/total_loss", "disc/d_loss", "disc/r1_penalty"):
+        np.testing.assert_allclose(float(mcp[k]), float(m1[k]), atol=2e-5,
+                                   err_msg=k)
+    # token indices agree
+    np.testing.assert_array_equal(np.asarray(idxcp), np.asarray(idx1))
+    # updated params agree (both optimizers)
+    for a, b in zip(jax.tree_util.tree_leaves(scp.gen_params),
+                    jax.tree_util.tree_leaves(s1.gen_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(scp.disc_params),
+                    jax.tree_util.tree_leaves(s1.disc_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_cp_batch_actually_sharded(rng):
+    mesh = make_cp_mesh(N_SHARDS)
+    batch = _global_batch(rng)
+    arrs = shard_packed_tree(batch.device_arrays(), mesh)
+    devs = {s.device.id for s in arrs["patches"].addressable_shards}
+    assert len(devs) == N_SHARDS
+    # per-sample metadata replicated
+    assert arrs["token_counts"].sharding.is_fully_replicated
+
+
+def test_cp_sample_spanning_shard_boundary(rng):
+    """A single giant sample filling the whole budget (necessarily spanning
+    every shard) reconstructs identically under CP."""
+    cfg = _cfg()
+    mesh = make_cp_mesh(N_SHARDS)
+    vid = np.asarray(
+        np.random.default_rng(0).uniform(-1, 1, size=(3, 4, 32, 28)),
+        np.float32,
+    )  # grid 2*8*7 = 112 patches
+    batch = pack_samples([vid], [16], seq_len=128, max_samples=2,
+                         patch_size=PATCH)
+    model_1 = make_titok(cfg)
+    model_cp = make_titok(cfg, cp_mesh=mesh)
+    params = model_1.init(jax.random.PRNGKey(0),
+                          batch.device_arrays())["params"]
+    rec1, aux1 = model_1.apply({"params": params}, batch.device_arrays())
+    arrs = shard_packed_tree(batch.device_arrays(), mesh)
+    reccp, auxcp = jax.jit(
+        lambda p, b: model_cp.apply({"params": p}, b)
+    )(params, arrs)
+    np.testing.assert_allclose(np.asarray(reccp), np.asarray(rec1),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(auxcp["indices"]),
+                                  np.asarray(aux1["indices"]))
+
+
+def test_cp_trainer_fit_synthetic(tmp_path):
+    """ContextParallelTrainer end-to-end: a few full GAN steps + eval on the
+    virtual mesh with a global budget spanning 4 shards."""
+    from titok_tpu.parallel.cp_trainer import ContextParallelTrainer
+
+    cfg = tiny_config(**{
+        "dataset.train_dataset": "synthetic",
+        "dataset.eval_dataset": "synthetic",
+        "tokenizer.losses.disc_weight": 0.4,
+        "training.sampling.train_seq_len": 256,
+        "training.sampling.eval_seq_len": 256,
+        "training.main.cp_devices": 4,
+        "training.main.max_steps": 2,
+        "training.eval.eval_step_interval": 2,
+        "training.eval.eval_samples": 3,
+        "training.eval.log_recon_num": 1,
+    })
+    cfg.set_dotted("general.checkpoints.save_path", str(tmp_path))
+    cfg.set_dotted("general.checkpoints.save_interval", 10)
+    trainer = ContextParallelTrainer(cfg)
+    state = trainer.fit()
+    assert int(state.step) == 2
+    trainer.validate(state, 2)
+
+    import json, os
+    lines = [json.loads(l) for l in
+             open(os.path.join(str(tmp_path), "metrics.jsonl"))]
+    merged = {}
+    for l in lines:
+        merged.update(l)
+    assert np.isfinite(merged["train/gen/total_loss"])
+    assert np.isfinite(merged["train/disc/total_loss"])
+    assert np.isfinite(merged["eval/psnr"])

@@ -260,11 +260,15 @@ class DiscBatch:
 
 
 def build_disc_batch(batch: PackedBatch, disc_tokens: int = 4,
-                     head_dim: int = 64) -> DiscBatch:
-    """Build the disc-side packing plan from a tokenizer PackedBatch."""
+                     head_dim: int = 64, pad_to: int = 1) -> DiscBatch:
+    """Build the disc-side packing plan from a tokenizer PackedBatch.
+
+    ``pad_to``: round the disc buffer length up to a multiple (context
+    parallelism shards the [Sd] axis, which must divide evenly)."""
     Bmax = batch.max_samples
     S = batch.seq_len
     Sd = S + disc_tokens * Bmax
+    Sd = ((Sd + pad_to - 1) // pad_to) * pad_to
     n_dims = batch.grids.shape[1]
 
     patch_gather = np.zeros((Sd,), np.int32)

@@ -38,6 +38,8 @@ class PrefetchLoader:
         self._thread: Optional[threading.Thread] = None
 
     def _put(self, arrs: dict):
+        if callable(self.sharding):  # per-tree placement (e.g. CP sharding)
+            return self.sharding(arrs)
         if self.sharding is not None:
             return jax.device_put(arrs, self.sharding)
         return jax.device_put(arrs)

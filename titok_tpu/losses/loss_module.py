@@ -56,7 +56,7 @@ class LossSystem:
     thing jits inside the train step.
     """
 
-    def __init__(self, config):
+    def __init__(self, config, cp_mesh=None, cp_axis: str = "seq"):
         loss_c = config.tokenizer.losses
         loss_d = config.discriminator.losses
         model_d = config.discriminator.model
@@ -101,6 +101,8 @@ class LossSystem:
             out_channels=1,
             attn_impl=str(config.training.main.get("attn_impl", "auto")),
             max_seg_len=_config_max_seg_len(config),
+            cp_mesh=cp_mesh,
+            cp_axis=cp_axis,
         )
 
     # -- discriminator plumbing -------------------------------------------

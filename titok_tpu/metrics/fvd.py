@@ -29,7 +29,9 @@ from scipy.linalg import sqrtm
 def frechet_distance(mu1, sigma1, mu2, sigma2) -> float:
     """Reference ``fvd.py:95-104``."""
     diff = mu1 - mu2
-    covmean, _ = sqrtm(sigma1.dot(sigma2), disp=False)
+    covmean = sqrtm(sigma1.dot(sigma2))
+    if isinstance(covmean, tuple):  # older scipy returned (sqrtm, errest)
+        covmean = covmean[0]
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
@@ -87,11 +89,23 @@ class FVDCalculator:
         if self._extractor is None:
             if not self.i3d_path or not os.path.exists(self.i3d_path):
                 raise RuntimeError(
-                    "FVD needs a local torchscript I3D: set TITOK_I3D_PATH or "
-                    "pass i3d_path (zero-egress environment; the reference "
+                    "FVD needs local I3D weights: set TITOK_I3D_PATH or "
+                    "training.eval.i3d_path to a converted .npz (preferred, "
+                    "runs the JAX port on TPU — tools/convert_i3d.py) or a "
+                    "torchscript .pt (zero-egress environment; the reference "
                     "downloads it from Dropbox, fvd.py:27-34)."
                 )
-            self._extractor = I3DFeatureExtractor(self.i3d_path)
+            if self.i3d_path.endswith(".npz"):
+                from titok_tpu.metrics.i3d import (
+                    JaxI3DExtractor,
+                    load_i3d_params,
+                )
+
+                self._extractor = JaxI3DExtractor(
+                    load_i3d_params(self.i3d_path)
+                )
+            else:
+                self._extractor = I3DFeatureExtractor(self.i3d_path)
         return self._extractor
 
     def update(self, recon_bcthw: np.ndarray, target_bcthw: np.ndarray) -> None:

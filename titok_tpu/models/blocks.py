@@ -73,6 +73,8 @@ class PackedEncoder(nn.Module):
     attn_impl: str = "auto"
     remat: bool = False
     max_seg_len: int | None = None
+    cp_mesh: Any = None
+    cp_axis: str = "seq"
 
     @nn.compact
     def __call__(self, patches, token_mask, segment_ids, rope_cos, rope_sin):
@@ -98,6 +100,7 @@ class PackedEncoder(nn.Module):
             embed_dim=width, heads=heads, mlp_ratio=mlp_ratio,
             num_layer=num_layers, dtype=self.dtype, attn_impl=self.attn_impl,
             max_seg_len=self.max_seg_len, remat=self.remat,
+            cp_mesh=self.cp_mesh, cp_axis=self.cp_axis,
             name="model_layers",
         )(x, rope_cos, rope_sin, segment_ids)
 
@@ -121,6 +124,8 @@ class PackedDecoder(nn.Module):
     attn_impl: str = "auto"
     remat: bool = False
     max_seg_len: int | None = None
+    cp_mesh: Any = None
+    cp_axis: str = "seq"
 
     @nn.compact
     def __call__(self, tokens, token_mask, segment_ids, rope_cos, rope_sin):
@@ -144,6 +149,7 @@ class PackedDecoder(nn.Module):
             embed_dim=width, heads=heads, mlp_ratio=mlp_ratio,
             num_layer=num_layers, dtype=self.dtype, attn_impl=self.attn_impl,
             max_seg_len=self.max_seg_len, remat=self.remat,
+            cp_mesh=self.cp_mesh, cp_axis=self.cp_axis,
             name="model_layers",
         )(x, rope_cos, rope_sin, segment_ids)
 

@@ -55,6 +55,10 @@ class TiTok(nn.Module):
     quantizer: str = "fsq"
     remat: bool = False
     max_seg_len: int | None = None
+    # context parallelism: shard the packed [S] axis over this mesh's
+    # cp_axis (see titok_tpu/parallel/context_parallel.py)
+    cp_mesh: Any = None
+    cp_axis: str = "seq"
     vq_codebook_size: int = 16384
     vq_dim: int = 8
     vq_commitment_weight: float = 0.25
@@ -80,6 +84,8 @@ class TiTok(nn.Module):
             attn_impl=self.attn_impl,
             remat=self.remat,
             max_seg_len=self.max_seg_len,
+            cp_mesh=self.cp_mesh,
+            cp_axis=self.cp_axis,
             name="encoder",
         )
         if self.quantizer == "fsq":
@@ -101,6 +107,8 @@ class TiTok(nn.Module):
             attn_impl=self.attn_impl,
             remat=self.remat,
             max_seg_len=self.max_seg_len,
+            cp_mesh=self.cp_mesh,
+            cp_axis=self.cp_axis,
             name="decoder",
         )
 
@@ -168,8 +176,13 @@ def _config_max_seg_len(config):
         return None
 
 
-def make_titok(config) -> TiTok:
-    """Build a TiTok module from a framework Config (ref ``titok.py:24-45``)."""
+def make_titok(config, cp_mesh=None, cp_axis: str = "seq") -> TiTok:
+    """Build a TiTok module from a framework Config (ref ``titok.py:24-45``).
+
+    ``cp_mesh``: optional mesh for context parallelism — the packed [S]
+    axis is sharded along ``cp_axis`` and attention runs the shard_map CP
+    op; pass batches sharded with ``parallel.cp.shard_packed_tree``.
+    """
     tm = config.tokenizer.model
     precision = str(config.training.main.get("precision", "bf16-mixed"))
     dtype = {"bf16": jnp.bfloat16, "16": jnp.float16, "32": jnp.float32}[
@@ -190,6 +203,8 @@ def make_titok(config) -> TiTok:
         vq_dim=int(vq.get("dim", 8)),
         vq_commitment_weight=float(vq.get("commitment_weight", 0.25)),
         vq_decay=float(vq.get("decay", 0.99)),
+        cp_mesh=cp_mesh,
+        cp_axis=cp_axis,
     )
 
 

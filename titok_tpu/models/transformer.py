@@ -67,6 +67,12 @@ class Attn(nn.Module):
     # static bound on segment length (packed-sample size); lets the flash
     # kernel compress its kv grid to visited blocks only
     max_seg_len: int | None = None
+    # context parallelism: when a mesh is given, the packed [S] axis is
+    # sharded along cp_axis and attention runs through the shard_map CP op
+    # (q local, kv gathered over ICI); everything else in the block is
+    # row-wise and partitioned by the SPMD partitioner automatically
+    cp_mesh: Any = None
+    cp_axis: str = "seq"
 
     @nn.compact
     def __call__(self, x, rope_cos, rope_sin, segment_ids):
@@ -90,8 +96,16 @@ class Attn(nn.Module):
         q = apply_rotary_emb(q, rope_cos, rope_sin)
         k = apply_rotary_emb(k, rope_cos, rope_sin)
 
-        o = segment_attention(q, k, v, segment_ids, impl=self.attn_impl,
-                              max_seg_len=self.max_seg_len)
+        if self.cp_mesh is not None:
+            from titok_tpu.parallel.context_parallel import cp_segment_attention
+
+            o = cp_segment_attention(
+                q, k, v, segment_ids, self.cp_mesh, self.cp_axis,
+                impl=self.attn_impl,
+            )
+        else:
+            o = segment_attention(q, k, v, segment_ids, impl=self.attn_impl,
+                                  max_seg_len=self.max_seg_len)
         o = o.reshape(S, self.dim)
         o = o * nn.sigmoid(gate)
         return nn.Dense(
@@ -161,6 +175,8 @@ class ResidualAttentionBlock(nn.Module):
     # rematerialize sublayers in the backward pass (jax.checkpoint): trades
     # FLOPs for activation memory — lets big budgets/models fit HBM
     remat: bool = False
+    cp_mesh: Any = None
+    cp_axis: str = "seq"
 
     @nn.compact
     def __call__(self, x, rope_cos, rope_sin, segment_ids):
@@ -173,6 +189,7 @@ class ResidualAttentionBlock(nn.Module):
             attn = attn_cls(
                 self.embed_dim, self.heads, dtype=self.dtype,
                 attn_impl=self.attn_impl, max_seg_len=self.max_seg_len,
+                cp_mesh=self.cp_mesh, cp_axis=self.cp_axis,
                 name=f"attn_{i}",
             )
             ffd = ffd_cls(

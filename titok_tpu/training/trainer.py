@@ -207,6 +207,7 @@ class Trainer:
         loader = PrefetchLoader(
             lambda: self.batches_fn(self.config, eval=False, seed=seed),
             build_extras=lambda b: self._build_extras(b, extras_rng),
+            sharding=getattr(self, "_loader_sharding", None),
         )
 
         from titok_tpu.train_utils.profiling import StepTimer

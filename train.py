@@ -37,7 +37,16 @@ def main(argv):
     np.random.seed(int(config.training.main.get("seed", 0)))
 
     devices = int(config.training.main.get("train_devices", 1))
-    if devices > 1:
+    cp_devices = int(config.training.main.get("cp_devices", 1))
+    assert not (devices > 1 and cp_devices > 1), (
+        "combined DP x CP meshes are not wired into the trainer yet; "
+        "set only one of train_devices / cp_devices > 1"
+    )
+    if cp_devices > 1:
+        from titok_tpu.parallel.cp_trainer import (
+            ContextParallelTrainer as TrainerCls,
+        )
+    elif devices > 1:
         from titok_tpu.parallel.trainer import DataParallelTrainer as TrainerCls
     else:
         from titok_tpu.training.trainer import Trainer as TrainerCls
