@@ -135,11 +135,34 @@ class Trainer:
         )
         self.batches_fn = batches_fn or select_data_backend(config)
         self.lpips_params = (
-            load_lpips_params() if self.loss_system.use_perceptual else {}
+            self._load_lpips(config) if self.loss_system.use_perceptual else {}
         )
         self.max_grid = list(config.training.sampling.max_grid)
 
-    # -- extras built in the prefetch thread ------------------------------
+    @staticmethod
+    def _load_lpips(config):
+        """Pretrained LPIPS weights, or a HARD error: training silently on
+        seeded-random VGG features is not the reference's perceptual loss
+        (reference ``model/metrics/lpips_gram.py:82-101``). Opt into the
+        randomized-VGG fallback explicitly with
+        ``tokenizer.losses.allow_random_lpips: true``."""
+        import os
+
+        from titok_tpu.losses.lpips import DEFAULT_WEIGHTS
+
+        path = config.tokenizer.losses.get("lpips_weights", None) or \
+            DEFAULT_WEIGHTS
+        if not os.path.exists(path) and not bool(
+            config.tokenizer.losses.get("allow_random_lpips", False)
+        ):
+            raise RuntimeError(
+                f"perceptual loss is enabled but no LPIPS weights exist at "
+                f"{path}. Stage torchvision VGG16 + vgg.pth and run "
+                "tools/convert_lpips.py, or set "
+                "tokenizer.losses.allow_random_lpips: true to train with "
+                "seeded-random VGG features (NOT the reference loss)."
+            )
+        return load_lpips_params(path)
     def _build_extras(self, batch: PackedBatch, rng: np.random.Generator) -> dict:
         extras = {}
         if self.loss_system.use_disc:
