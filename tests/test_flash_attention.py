@@ -184,3 +184,97 @@ def test_compressed_grid_matches_dense(rng):
     for a, b in zip(gf, gd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=1e-3)
+
+
+def _rope_tables(rng, S, P=30):
+    ang = rng.uniform(0, 2 * np.pi, size=(S, P))
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+def test_fused_rope_matches_unfused_forward(rng):
+    """flash_rope(q_raw, k_raw, tables) == flash(rot(q), rot(k)) up to FMA
+    contraction (VERDICT r1 next #9): the in-kernel rotation computes the
+    same per-element ops; XLA's fused multiply-adds reorder the last-bit
+    rounding between the two graphs."""
+    from titok_tpu.models.rope import apply_rotary_emb
+    from titok_tpu.ops.flash_attention_mh import flash_segment_attention_mh
+
+    S, Hq, Hkv, D = 256, 4, 2, 64
+    q = jnp.asarray(rng.normal(size=(S, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(S, Hkv, D)), jnp.float32)
+    seg = np.zeros((S,), np.int32)
+    seg[:100] = 1
+    seg[100:230] = 2
+    seg = jnp.asarray(seg)
+    cos, sin = _rope_tables(rng, S)
+
+    with pltpu.force_tpu_interpret_mode():
+        q_r = apply_rotary_emb(q, cos, sin)
+        k_r = apply_rotary_emb(k, cos, sin)
+        expected = flash_segment_attention_mh(q_r, k_r, v, seg, block_q=64,
+                                              block_k=64)
+        fused = flash_segment_attention_mh(q, k, v, seg, block_q=64,
+                                           block_k=64, rope_cos=cos,
+                                           rope_sin=sin)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(expected),
+                               atol=1e-6, rtol=3e-6)
+
+
+def test_fused_rope_gradients(rng):
+    """d/dq, d/dk, d/dv of the fused kernel == grads of the unfused chain
+    (rotation is orthogonal; the bwd kernels invert it)."""
+    from titok_tpu.models.rope import apply_rotary_emb
+    from titok_tpu.ops.flash_attention_mh import flash_segment_attention_mh
+
+    S, Hq, Hkv, D = 128, 4, 2, 64
+    q = jnp.asarray(rng.normal(size=(S, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(S, Hkv, D)), jnp.float32)
+    seg = np.zeros((S,), np.int32)
+    seg[:60] = 1
+    seg[60:120] = 2
+    seg = jnp.asarray(seg)
+    cos, sin = _rope_tables(rng, S)
+    w = jnp.asarray(rng.normal(size=(S, Hq, D)), jnp.float32)
+
+    def loss_fused(q, k, v):
+        o = flash_segment_attention_mh(q, k, v, seg, block_q=64, block_k=64,
+                                       rope_cos=cos, rope_sin=sin)
+        return (o * w).sum()
+
+    def loss_unfused(q, k, v):
+        o = flash_segment_attention_mh(
+            apply_rotary_emb(q, cos, sin), apply_rotary_emb(k, cos, sin), v,
+            seg, block_q=64, block_k=64)
+        return (o * w).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        gu = jax.grad(loss_unfused, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gu, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   rtol=1e-4, err_msg=name)
+
+
+def test_fused_rope_in_model(rng):
+    """attn_impl=flash_rope through the full TiTok forward == reference."""
+    from tests.util import PATCH, synthetic_videos, tiny_config
+    from titok_tpu.data.packing import pack_samples
+    from titok_tpu.models.titok import make_titok
+
+    cfg_ref = tiny_config()
+    cfg_fused = tiny_config(**{"training.main.attn_impl": "flash_rope"})
+    batch = pack_samples(synthetic_videos(np.random.default_rng(0), 3),
+                         [2, 5, 3], seq_len=128, max_samples=8,
+                         patch_size=PATCH)
+    m_ref = make_titok(cfg_ref)
+    m_fused = make_titok(cfg_fused)
+    params = m_ref.init(jax.random.PRNGKey(0), batch.device_arrays())["params"]
+    rec_ref, aux_ref = m_ref.apply({"params": params}, batch.device_arrays())
+    with pltpu.force_tpu_interpret_mode():
+        rec_f, aux_f = m_fused.apply({"params": params}, batch.device_arrays())
+    np.testing.assert_allclose(np.asarray(rec_f), np.asarray(rec_ref),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_array_equal(np.asarray(aux_f["indices"]),
+                                  np.asarray(aux_ref["indices"]))

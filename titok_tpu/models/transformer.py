@@ -93,8 +93,12 @@ class Attn(nn.Module):
         k = k.reshape(S, kv_heads, head_dim)
         v = v.reshape(S, kv_heads, head_dim)
 
-        q = apply_rotary_emb(q, rope_cos, rope_sin)
-        k = apply_rotary_emb(k, rope_cos, rope_sin)
+        # flash_rope fuses the rotation into the attention kernel (q/k go
+        # in RAW); every other impl rotates here
+        fuse_rope = self.attn_impl == "flash_rope" and self.cp_mesh is None
+        if not fuse_rope:
+            q = apply_rotary_emb(q, rope_cos, rope_sin)
+            k = apply_rotary_emb(k, rope_cos, rope_sin)
 
         if self.cp_mesh is not None:
             from titok_tpu.parallel.context_parallel import cp_segment_attention
@@ -104,8 +108,12 @@ class Attn(nn.Module):
                 impl=self.attn_impl,
             )
         else:
-            o = segment_attention(q, k, v, segment_ids, impl=self.attn_impl,
-                                  max_seg_len=self.max_seg_len)
+            o = segment_attention(
+                q, k, v, segment_ids, impl=self.attn_impl,
+                max_seg_len=self.max_seg_len,
+                rope_cos=rope_cos if fuse_rope else None,
+                rope_sin=rope_sin if fuse_rope else None,
+            )
         o = o.reshape(S, self.dim)
         o = o * nn.sigmoid(gate)
         return nn.Dense(

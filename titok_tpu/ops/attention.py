@@ -74,12 +74,15 @@ def segment_attention(
     scale: float | None = None,
     impl: str = "auto",
     max_seg_len: int | None = None,
+    rope_cos: jnp.ndarray | None = None,
+    rope_sin: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Dispatching entry point used by the transformer.
 
     ``impl``: 'auto' (Pallas flash on TPU, dense elsewhere), 'flash'
-    (multi-head-fused v2 kernel), 'flash_v1' (head-per-grid-row kernel),
-    or 'reference'.
+    (multi-head-fused v2 kernel), 'flash_rope' (v2 with RoPE fused
+    in-kernel — pass UNROTATED q/k plus ``rope_cos/rope_sin``),
+    'flash_v1' (head-per-grid-row kernel), or 'reference'.
     """
     if impl == "auto":
         if jax.default_backend() == "tpu" and _flash_available():
@@ -88,6 +91,14 @@ def segment_attention(
             impl = "flash"
         else:
             impl = "reference"
+    if impl == "flash_rope":
+        from titok_tpu.ops.flash_attention_mh import flash_segment_attention_mh
+
+        assert rope_cos is not None, "flash_rope needs rope tables"
+        return flash_segment_attention_mh(
+            q, k, v, segment_ids, scale=scale, max_seg_len=max_seg_len,
+            rope_cos=rope_cos, rope_sin=rope_sin,
+        )
     if impl == "flash":
         from titok_tpu.ops.flash_attention_mh import flash_segment_attention_mh
 

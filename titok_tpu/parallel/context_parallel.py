@@ -84,6 +84,8 @@ def cp_segment_attention(
     """
     if impl == "auto":
         impl = "flash" if jax.default_backend() == "tpu" else "reference"
+    if impl == "flash_rope":  # CP rotates before gathering kv; plain kernel
+        impl = "flash"
     fn = jax.shard_map(
         functools.partial(_local_cp_attention, axis=axis, impl=impl),
         mesh=mesh,
