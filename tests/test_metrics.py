@@ -135,3 +135,47 @@ def test_device_psnr_matches_host(rng):
     for r, t in zip(recons, vids):
         host.update(r, t)
     np.testing.assert_allclose(dev, host.compute(), rtol=1e-5)
+
+
+def test_jedi_e2e_in_validate(tmp_path):
+    """eval/jedi flows through the full validate() path with a local
+    torchscript extractor (the staged-artifact mechanism for V-JEPA)."""
+    import json
+    import os
+
+    import torch
+
+    from tests.util import tiny_config
+    from titok_tpu.training.trainer import Trainer
+
+    class TinyEmbed(torch.nn.Module):
+        def forward(self, x):  # [B, C, T, H, W] -> [B, 8]
+            m = x.mean(dim=(2, 3, 4))          # [B, C]
+            s = x.std(dim=(2, 3, 4))
+            mx = x.amax(dim=(2, 3, 4))
+            return torch.cat([m, s, mx[:, :2]], dim=1)
+
+    ts = torch.jit.script(TinyEmbed())
+    path = str(tmp_path / "jedi_embed.pt")
+    ts.save(path)
+
+    cfg = tiny_config(**{
+        "dataset.train_dataset": "synthetic",
+        "dataset.eval_dataset": "synthetic",
+        "training.eval.eval_samples": 4,
+        "training.eval.log_metrics": ["jedi"],
+        "training.eval.log_recon_num": 0,
+        "training.eval.jedi_extractor_path": path,
+    })
+    cfg.set_dotted("general.checkpoints.save_path", str(tmp_path / "out"))
+    trainer = Trainer(cfg)
+    state = trainer._init_state(0)
+    trainer.validate(state, 0)
+
+    lines = [json.loads(l) for l in
+             open(os.path.join(str(tmp_path / "out"), "metrics.jsonl"))]
+    merged = {}
+    for l in lines:
+        merged.update(l)
+    assert "eval/jedi" in merged
+    assert np.isfinite(merged["eval/jedi"])

@@ -36,8 +36,12 @@ class EvalMetrics:
                 from titok_tpu.metrics.jedi import JEDiMetric
 
                 self.metrics[m] = (
-                    JEDiMetric(model_name=config.training.eval.get(
-                        "jedi_jepa_model", "vit_large")),
+                    JEDiMetric(
+                        model_name=config.training.eval.get(
+                            "jedi_jepa_model", "vit_large"),
+                        extractor_path=config.training.eval.get(
+                            "jedi_extractor_path", None),
+                    ),
                     "video",
                 )
             else:

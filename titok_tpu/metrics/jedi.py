@@ -36,19 +36,45 @@ def mmd_poly(X: np.ndarray, Y: np.ndarray, degree: int = 3, gamma=None,
     return float(kxx.mean() + kyy.mean() - 2 * kxy.mean()) if m and n else 0.0
 
 
+class TorchscriptVideoExtractor:
+    """Generic local-torchscript feature extractor: BCTHW float in [-1, 1]
+    -> [B, D] features on CPU torch (the staged-artifact path for V-JEPA
+    or any drop-in embedding net)."""
+
+    def __init__(self, path: str):
+        import torch
+
+        self.torch = torch
+        self.model = torch.jit.load(path, map_location="cpu").eval()
+
+    def __call__(self, video_bcthw: np.ndarray) -> np.ndarray:
+        with self.torch.no_grad():
+            x = self.torch.from_numpy(np.asarray(video_bcthw, np.float32))
+            return self.model(x).numpy()
+
+
 class JEDiMetric:
     def __init__(self, feature_fn: Optional[Callable] = None,
-                 model_name: str = "vit_large"):
+                 model_name: str = "vit_large",
+                 extractor_path: Optional[str] = None):
+        import os
+
         self.feature_fn = feature_fn
         self.model_name = model_name
+        self.extractor_path = extractor_path or os.environ.get(
+            "TITOK_JEDI_PATH"
+        )
         self.reset()
 
     def update(self, recon_bcthw: np.ndarray, target_bcthw: np.ndarray) -> None:
+        if self.feature_fn is None and self.extractor_path:
+            self.feature_fn = TorchscriptVideoExtractor(self.extractor_path)
         if self.feature_fn is None:
             raise RuntimeError(
-                "JEDi needs a V-JEPA feature extractor; pass feature_fn "
-                "(zero-egress: the reference downloads jepa weights, "
-                "jedi.py:24-70)."
+                "JEDi needs a V-JEPA feature extractor; pass feature_fn or "
+                "set training.eval.jedi_extractor_path / TITOK_JEDI_PATH to "
+                "a local torchscript (zero-egress: the reference downloads "
+                "jepa weights, jedi.py:24-70)."
             )
         self.fake.append(np.asarray(self.feature_fn(recon_bcthw)))
         self.real.append(np.asarray(self.feature_fn(target_bcthw)))
