@@ -75,6 +75,8 @@ class PackedEncoder(nn.Module):
     max_seg_len: int | None = None
     cp_mesh: Any = None
     cp_axis: str = "seq"
+    tp_mesh: Any = None
+    tp_axis: str = "model"
 
     @nn.compact
     def __call__(self, patches, token_mask, segment_ids, rope_cos, rope_sin):
@@ -101,6 +103,7 @@ class PackedEncoder(nn.Module):
             num_layer=num_layers, dtype=self.dtype, attn_impl=self.attn_impl,
             max_seg_len=self.max_seg_len, remat=self.remat,
             cp_mesh=self.cp_mesh, cp_axis=self.cp_axis,
+            tp_mesh=self.tp_mesh, tp_axis=self.tp_axis,
             name="model_layers",
         )(x, rope_cos, rope_sin, segment_ids)
 
@@ -126,6 +129,8 @@ class PackedDecoder(nn.Module):
     max_seg_len: int | None = None
     cp_mesh: Any = None
     cp_axis: str = "seq"
+    tp_mesh: Any = None
+    tp_axis: str = "model"
 
     @nn.compact
     def __call__(self, tokens, token_mask, segment_ids, rope_cos, rope_sin):
@@ -150,6 +155,7 @@ class PackedDecoder(nn.Module):
             num_layer=num_layers, dtype=self.dtype, attn_impl=self.attn_impl,
             max_seg_len=self.max_seg_len, remat=self.remat,
             cp_mesh=self.cp_mesh, cp_axis=self.cp_axis,
+            tp_mesh=self.tp_mesh, tp_axis=self.tp_axis,
             name="model_layers",
         )(x, rope_cos, rope_sin, segment_ids)
 

@@ -59,6 +59,8 @@ class TiTok(nn.Module):
     # cp_axis (see titok_tpu/parallel/context_parallel.py)
     cp_mesh: Any = None
     cp_axis: str = "seq"
+    tp_mesh: Any = None
+    tp_axis: str = "model"
     vq_codebook_size: int = 16384
     vq_dim: int = 8
     vq_commitment_weight: float = 0.25
@@ -86,6 +88,8 @@ class TiTok(nn.Module):
             max_seg_len=self.max_seg_len,
             cp_mesh=self.cp_mesh,
             cp_axis=self.cp_axis,
+            tp_mesh=self.tp_mesh,
+            tp_axis=self.tp_axis,
             name="encoder",
         )
         if self.quantizer == "fsq":
@@ -109,6 +113,8 @@ class TiTok(nn.Module):
             max_seg_len=self.max_seg_len,
             cp_mesh=self.cp_mesh,
             cp_axis=self.cp_axis,
+            tp_mesh=self.tp_mesh,
+            tp_axis=self.tp_axis,
             name="decoder",
         )
 
@@ -176,7 +182,8 @@ def _config_max_seg_len(config):
         return None
 
 
-def make_titok(config, cp_mesh=None, cp_axis: str = "seq") -> TiTok:
+def make_titok(config, cp_mesh=None, cp_axis: str = "seq",
+               tp_mesh=None, tp_axis: str = "model") -> TiTok:
     """Build a TiTok module from a framework Config (ref ``titok.py:24-45``).
 
     ``cp_mesh``: optional mesh for context parallelism — the packed [S]
@@ -205,6 +212,8 @@ def make_titok(config, cp_mesh=None, cp_axis: str = "seq") -> TiTok:
         vq_decay=float(vq.get("decay", 0.99)),
         cp_mesh=cp_mesh,
         cp_axis=cp_axis,
+        tp_mesh=tp_mesh,
+        tp_axis=tp_axis,
     )
 
 

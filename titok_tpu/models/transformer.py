@@ -73,6 +73,11 @@ class Attn(nn.Module):
     # row-wise and partitioned by the SPMD partitioner automatically
     cp_mesh: Any = None
     cp_axis: str = "seq"
+    # tensor parallelism: run the attention kernel head-parallel inside
+    # shard_map over this mesh's tp_axis (composes with shard_params_tp's
+    # column/row-parallel projections; mutually exclusive with cp_mesh)
+    tp_mesh: Any = None
+    tp_axis: str = "model"
 
     @nn.compact
     def __call__(self, x, rope_cos, rope_sin, segment_ids):
@@ -106,6 +111,13 @@ class Attn(nn.Module):
             o = cp_segment_attention(
                 q, k, v, segment_ids, self.cp_mesh, self.cp_axis,
                 impl=self.attn_impl,
+            )
+        elif self.tp_mesh is not None:
+            from titok_tpu.parallel.tensor_parallel import tp_segment_attention
+
+            o = tp_segment_attention(
+                q, k, v, segment_ids, self.tp_mesh, self.tp_axis,
+                impl=self.attn_impl, max_seg_len=self.max_seg_len,
             )
         else:
             o = segment_attention(
@@ -185,6 +197,8 @@ class ResidualAttentionBlock(nn.Module):
     remat: bool = False
     cp_mesh: Any = None
     cp_axis: str = "seq"
+    tp_mesh: Any = None
+    tp_axis: str = "model"
 
     @nn.compact
     def __call__(self, x, rope_cos, rope_sin, segment_ids):
@@ -198,6 +212,7 @@ class ResidualAttentionBlock(nn.Module):
                 self.embed_dim, self.heads, dtype=self.dtype,
                 attn_impl=self.attn_impl, max_seg_len=self.max_seg_len,
                 cp_mesh=self.cp_mesh, cp_axis=self.cp_axis,
+                tp_mesh=self.tp_mesh, tp_axis=self.tp_axis,
                 name=f"attn_{i}",
             )
             ffd = ffd_cls(

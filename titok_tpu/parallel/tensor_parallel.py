@@ -12,13 +12,19 @@ splits the matmuls and inserts the all-reduces:
   the output);
 - everything else (norms, mask token, proj_in/out, biases): replicated.
 
-Caveat: the Pallas attention kernels are not SPMD-partitionable, so TP runs
-use ``attn_impl='reference'`` (XLA attention partitions fine) or wrap the
-kernel in shard_map per head group — left for when a model size actually
-needs TP.
+The Pallas attention kernel is not SPMD-partitionable by annotation, but
+attention is HEAD-parallel: :func:`tp_segment_attention` runs the kernel
+inside ``shard_map`` with q/k/v sharded along the head axis — zero
+collectives in attention itself (the column-parallel qkv projection
+already emits head-sharded activations, and the row-parallel ``out_proj``
+contributes the one psum per layer). GQA constraint: both q and kv head
+counts must divide the mesh axis (tiny = 4q/2kv heads → TP2 natural;
+shard kv-heads first, duplicate beyond Hkv if ever needed).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -46,3 +52,35 @@ def shard_params_tp(params, mesh: Mesh, axis: str = "model"):
         )
 
     return jax.tree_util.tree_map_with_path(place, params)
+
+
+def tp_segment_attention(
+    q,              # [S, Hq, D] sharded P(None, axis, None)
+    k,              # [S, Hkv, D]
+    v,
+    segment_ids,    # [S] replicated
+    mesh: Mesh,
+    axis: str = "model",
+    impl: str = "auto",
+    max_seg_len: int | None = None,
+):
+    """Head-parallel segment attention: each shard runs the (Pallas or
+    dense) kernel on its local head group. No collectives — softmax and
+    the weighted sum are per-head."""
+    n = mesh.shape[axis]
+    assert q.shape[1] % n == 0 and k.shape[1] % n == 0, (
+        f"q heads {q.shape[1]} and kv heads {k.shape[1]} must divide the "
+        f"{axis!r} mesh axis ({n})"
+    )
+    from titok_tpu.ops.attention import segment_attention
+
+    fn = jax.shard_map(
+        functools.partial(segment_attention, impl=impl,
+                          max_seg_len=max_seg_len),
+        mesh=mesh,
+        in_specs=(P(None, axis, None), P(None, axis, None),
+                  P(None, axis, None), P()),
+        out_specs=P(None, axis, None),
+        check_vma=False,
+    )
+    return fn(q, k, v, segment_ids)
