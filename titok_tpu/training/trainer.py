@@ -332,9 +332,21 @@ class Trainer:
                "ssim_cnt": 0.0}
         max_grid = self.max_grid
 
+        # the eval stream is deterministic (seed 0, eval transforms), so
+        # re-decoding it every epoch wastes host time; cache the packed
+        # batches after the first epoch (tens of MB at tiny-config sizes)
+        if bool(ce.get("cache_eval_batches", True)):
+            if getattr(self, "_eval_cache", None) is None:
+                self._eval_cache = list(
+                    self.batches_fn(self.config, eval=True, seed=0)
+                )
+            eval_stream = self._eval_cache
+        else:
+            eval_stream = self.batches_fn(self.config, eval=True, seed=0)
+
         seen = 0
         shown = 0
-        for batch in self.batches_fn(self.config, eval=True, seed=0):
+        for batch in eval_stream:
             plan = None
             if "ssim" in self.device_im:
                 plan = build_eval_frame_plan(
