@@ -164,7 +164,8 @@ def expand_rope_tables(cos, sin, d):
 
 def _fwd_kernel_rope(qmm, kmm, ab, q_ref, k_ref, v_ref, segq_ref, segk_ref,
                      ceq_ref, seq_ref, cek_ref, sek_ref,
-                     o_ref, lse_ref, acc, m_s, l_s, *, scale, n_k, hq, hkv, d):
+                     o_ref, lse_ref, acc, m_s, l_s, qrot, *, scale, n_k, hq,
+                     hkv, d):
     jl = pl.program_id(1)
     iq = pl.program_id(0)
     kmax = pl.num_programs(1)
@@ -175,18 +176,22 @@ def _fwd_kernel_rope(qmm, kmm, ab, q_ref, k_ref, v_ref, segq_ref, segk_ref,
         acc[...] = jnp.zeros_like(acc)
         m_s[...] = jnp.full_like(m_s, NEG_INF)
         l_s[...] = jnp.zeros_like(l_s)
+        # rotate q ONCE per q block (kv iterations reuse the cache)
+        ceq, seq_ = ceq_ref[...], seq_ref[...]
+        for h in range(hq):
+            qrot[:, h * d:(h + 1) * d] = _rot(
+                q_ref[:, h * d:(h + 1) * d], ceq, seq_
+            ).astype(qrot.dtype)
 
     overlap = ab[iq, 0] + jl <= ab[iq, 1]
 
     @pl.when(overlap)
     def _compute():
         mask = segq_ref[...] == segk_ref[...].reshape(1, -1)
-        ceq, seq_ = ceq_ref[...], seq_ref[...]
         cek, sek = cek_ref[...], sek_ref[...]
         for h in range(hq):
             hk = h // rep
-            qh = _rot(q_ref[:, h * d:(h + 1) * d], ceq, seq_).astype(
-                q_ref.dtype)
+            qh = qrot[:, h * d:(h + 1) * d]
             kh = _rot(k_ref[:, hk * d:(hk + 1) * d], cek, sek).astype(
                 k_ref.dtype)
             vh = v_ref[:, hk * d:(hk + 1) * d]
@@ -223,7 +228,7 @@ def _fwd_kernel_rope(qmm, kmm, ab, q_ref, k_ref, v_ref, segq_ref, segk_ref,
 
 def _bwd_dq_kernel_rope(qmm, kmm, ab, q_ref, k_ref, v_ref, segq_ref, segk_ref,
                         ceq_ref, seq_ref, cek_ref, sek_ref,
-                        do_ref, lse_ref, delta_ref, dq_ref, dq_acc,
+                        do_ref, lse_ref, delta_ref, dq_ref, dq_acc, qrot,
                         *, scale, n_k, hq, hkv, d):
     jl = pl.program_id(1)
     iq = pl.program_id(0)
@@ -233,18 +238,21 @@ def _bwd_dq_kernel_rope(qmm, kmm, ab, q_ref, k_ref, v_ref, segq_ref, segk_ref,
     @pl.when(jl == 0)
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
+        ceq, seq_ = ceq_ref[...], seq_ref[...]
+        for h in range(hq):
+            qrot[:, h * d:(h + 1) * d] = _rot(
+                q_ref[:, h * d:(h + 1) * d], ceq, seq_
+            ).astype(qrot.dtype)
 
     overlap = ab[iq, 0] + jl <= ab[iq, 1]
 
     @pl.when(overlap)
     def _compute():
         mask = segq_ref[...] == segk_ref[...].reshape(1, -1)
-        ceq, seq_ = ceq_ref[...], seq_ref[...]
         cek, sek = cek_ref[...], sek_ref[...]
         for h in range(hq):
             hk = h // rep
-            qh = _rot(q_ref[:, h * d:(h + 1) * d], ceq, seq_).astype(
-                q_ref.dtype)
+            qh = qrot[:, h * d:(h + 1) * d]
             kh = _rot(k_ref[:, hk * d:(hk + 1) * d], cek, sek).astype(
                 k_ref.dtype)
             vh = v_ref[:, hk * d:(hk + 1) * d]
@@ -281,7 +289,7 @@ def _bwd_dq_kernel_rope(qmm, kmm, ab, q_ref, k_ref, v_ref, segq_ref, segk_ref,
 def _bwd_dkv_kernel_rope(qmm, kmm, ab, q_ref, k_ref, v_ref, segq_ref,
                          segk_ref, ceq_ref, seq_ref, cek_ref, sek_ref,
                          do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-                         dk_acc, dv_acc, *, scale, n_q, hq, hkv, d):
+                         dk_acc, dv_acc, krot, *, scale, n_q, hq, hkv, d):
     jl = pl.program_id(1)
     ik = pl.program_id(0)
     kmax = pl.num_programs(1)
@@ -291,6 +299,11 @@ def _bwd_dkv_kernel_rope(qmm, kmm, ab, q_ref, k_ref, v_ref, segq_ref,
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
+        cek, sek = cek_ref[...], sek_ref[...]
+        for hk in range(hkv):
+            krot[:, hk * d:(hk + 1) * d] = _rot(
+                k_ref[:, hk * d:(hk + 1) * d], cek, sek
+            ).astype(krot.dtype)
 
     overlap = ab[ik, 0] + jl <= ab[ik, 1]
 
@@ -298,13 +311,11 @@ def _bwd_dkv_kernel_rope(qmm, kmm, ab, q_ref, k_ref, v_ref, segq_ref,
     def _compute():
         mask = segq_ref[...] == segk_ref[...].reshape(1, -1)
         ceq, seq_ = ceq_ref[...], seq_ref[...]
-        cek, sek = cek_ref[...], sek_ref[...]
         for h in range(hq):
             hk = h // rep
             qh = _rot(q_ref[:, h * d:(h + 1) * d], ceq, seq_).astype(
                 q_ref.dtype)
-            kh = _rot(k_ref[:, hk * d:(hk + 1) * d], cek, sek).astype(
-                k_ref.dtype)
+            kh = krot[:, hk * d:(hk + 1) * d]
             vh = v_ref[:, hk * d:(hk + 1) * d]
             doh = do_ref[:, h * d:(h + 1) * d]
             lse = lse_ref[:, h:h + 1]
@@ -620,6 +631,7 @@ def _rope_fwd(q2, k2, v2, seg_q, seg_k, ceq, seq_, cek, sek, scale, block_q,
                 pltpu.VMEM((block_q, hq * d), jnp.float32),
                 pltpu.VMEM((block_q, hq), jnp.float32),
                 pltpu.VMEM((block_q, hq), jnp.float32),
+                pltpu.VMEM((block_q, hq * d), q2.dtype),
             ],
         ),
         out_shape=[
@@ -675,7 +687,10 @@ def _rope_bwd(res, g, scale, block_q, block_k, hq, hkv, d, max_kv_blocks):
                 pl.BlockSpec((block_q, hq), q_row),
             ],
             out_specs=pl.BlockSpec((block_q, hq * d), q_row),
-            scratch_shapes=[pltpu.VMEM((block_q, hq * d), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, hq * d), jnp.float32),
+                pltpu.VMEM((block_q, hq * d), q2.dtype),
+            ],
         ),
         out_shape=jax.ShapeDtypeStruct((S, hq * d), q2.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -719,6 +734,7 @@ def _rope_bwd(res, g, scale, block_q, block_k, hq, hkv, d, max_kv_blocks):
             scratch_shapes=[
                 pltpu.VMEM((block_k, hkv * d), jnp.float32),
                 pltpu.VMEM((block_k, hkv * d), jnp.float32),
+                pltpu.VMEM((block_k, hkv * d), q2.dtype),
             ],
         ),
         out_shape=[
