@@ -25,7 +25,16 @@ from titok_tpu.training.train_step import TrainState, TrainStepBuilder
 
 
 class DPTrainStepBuilder(TrainStepBuilder):
-    """TrainStepBuilder whose step consumes ``[D, ...]``-stacked batches."""
+    """TrainStepBuilder whose step consumes ``[D, ...]``-stacked batches.
+
+    ``spmd_axis_name``: when the stacked axis is a *mesh* axis that must
+    compose with shard_maps inside the model (DP x CP: the per-batch packed
+    axis is itself sharded along a ``seq`` axis), the vmaps carry the axis
+    name so JAX's shard_map batching rule inserts it into the in/out specs —
+    the canonical vmap-over-shard_map composition. None for plain DP.
+    """
+
+    spmd_axis_name: str | None = None
 
     def init_state(self, rng, stacked_batch, stacked_disc) -> TrainState:
         one = jax.tree_util.tree_map(lambda x: x[0], stacked_batch)
@@ -69,7 +78,8 @@ class DPTrainStepBuilder(TrainStepBuilder):
             in_axes = (None, None, 0, None if disc is None else 0,
                        None if perc is None else 0, None)
             losses, (recon, aux, loss_dict) = jax.vmap(
-                per_dev_gen_loss, in_axes=in_axes
+                per_dev_gen_loss, in_axes=in_axes,
+                spmd_axis_name=self.spmd_axis_name,
             )(gen_params, disc_params, batch, disc, perc, vq_state)
             return losses.mean(), (recon, aux,
                                    jax.tree_util.tree_map(jnp.mean, loss_dict))
@@ -79,7 +89,8 @@ class DPTrainStepBuilder(TrainStepBuilder):
 
         def disc_loss_fn(disc_params, recon, batch, disc, rngs):
             losses, loss_dict = jax.vmap(
-                per_dev_disc_loss, in_axes=(None, 0, 0, 0, 0)
+                per_dev_disc_loss, in_axes=(None, 0, 0, 0, 0),
+                spmd_axis_name=self.spmd_axis_name,
             )(disc_params, recon, batch, disc, rngs)
             return losses.mean(), jax.tree_util.tree_map(jnp.mean, loss_dict)
 
@@ -148,11 +159,13 @@ class DPTrainStepBuilder(TrainStepBuilder):
         eval group in parallel across the mesh (VERDICT r1 weak #5)."""
         model = self.model
 
+        spmd = self.spmd_axis_name
+
         def eval_step(gen_params, stacked_batch, vq_state=None):
             def one(b):
                 recon, aux = model.apply({"params": gen_params}, b, vq_state)
                 return recon, aux["indices"]
 
-            return jax.vmap(one)(stacked_batch)
+            return jax.vmap(one, spmd_axis_name=spmd)(stacked_batch)
 
         return eval_step

@@ -37,6 +37,14 @@ class DataParallelTrainer(Trainer):
         self.device_im = ()
         self.eval_metrics = EvalMetrics(config)
 
+    def _shard_stacked(self, tree):
+        """device_put a ``[D, ...]``-stacked batch tree onto the mesh.
+        Plain DP shards the leading axis only; DPCPTrainer overrides this
+        to additionally shard the packed axis along ``seq``."""
+        if tree is None:
+            return None
+        return jax.device_put(tree, batch_sharding(self.mesh))
+
     def _stacked_batches(self, seed: int) -> Iterator[tuple]:
         """Group the packed stream into [D, ...] stacked device arrays."""
         it = self.batches_fn(self.config, eval=False, seed=seed)
@@ -56,7 +64,6 @@ class DataParallelTrainer(Trainer):
         log_every = int(cfg.general.wandb.get("log_step_interval", 50))
         eval_every = int(cfg.training.eval.get("eval_step_interval", 1000))
         seed = int(cm.get("seed", 0))
-        sharding = batch_sharding(self.mesh)
 
         # init from the first group
         group_iter = self._stacked_batches(seed)
@@ -92,9 +99,9 @@ class DataParallelTrainer(Trainer):
                 stack_trees([e["perc"].device_arrays() for e in ge])
                 if self.loss_system.use_perceptual else None
             )
-            s_dev = jax.device_put(s, sharding)
-            sd_dev = jax.device_put(sd, sharding) if sd is not None else None
-            sp_dev = jax.device_put(sp, sharding) if sp is not None else None
+            s_dev = self._shard_stacked(s)
+            sd_dev = self._shard_stacked(sd)
+            sp_dev = self._shard_stacked(sp)
 
             state, metrics, indices = train_step(state, s_dev, sd_dev, sp_dev)
             tokens_since += sum(b.seq_len for b in g)
@@ -130,13 +137,11 @@ class DataParallelTrainer(Trainer):
         rows never reach the metrics)."""
         from titok_tpu.data.packing import unpack_videos
 
-        sharding = batch_sharding(self.mesh)
-
         def flush(group):
             n_real = len(group)
             padded = group + [group[-1]] * (self.n_devices - n_real)
             stacked = stack_trees([b.device_arrays() for b in padded])
-            dev = jax.device_put(stacked, sharding)
+            dev = self._shard_stacked(stacked)
             recon_rows, _ = self._eval_step(
                 state.gen_params, dev, state.vq_state or None
             )

@@ -38,11 +38,9 @@ def main(argv):
 
     devices = int(config.training.main.get("train_devices", 1))
     cp_devices = int(config.training.main.get("cp_devices", 1))
-    assert not (devices > 1 and cp_devices > 1), (
-        "combined DP x CP meshes are not wired into the trainer yet; "
-        "set only one of train_devices / cp_devices > 1"
-    )
-    if cp_devices > 1:
+    if devices > 1 and cp_devices > 1:
+        from titok_tpu.parallel.dpcp import DPCPTrainer as TrainerCls
+    elif cp_devices > 1:
         from titok_tpu.parallel.cp_trainer import (
             ContextParallelTrainer as TrainerCls,
         )
