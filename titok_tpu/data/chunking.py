@@ -13,20 +13,47 @@ blowup never materializes on the host.
 from __future__ import annotations
 
 import math
+import subprocess
 from typing import Iterator, Sequence
 
 import numpy as np
 from PIL import Image
 
 
-def _resize_frames(frames: np.ndarray, size_hw: tuple[int, int]) -> np.ndarray:
-    """Bicubic resize of uint8 THWC frames via PIL."""
+def _resize_frames_pil(frames: np.ndarray, size_hw: tuple[int, int]) -> np.ndarray:
+    """Bicubic resize of uint8 THWC frames via PIL (fallback path)."""
     out = np.empty((frames.shape[0], size_hw[0], size_hw[1], 3), np.uint8)
     for i, f in enumerate(frames):
         out[i] = np.asarray(
             Image.fromarray(f).resize((size_hw[1], size_hw[0]), Image.BICUBIC)
         )
     return out
+
+
+_NATIVE_RESIZE: bool | None = None  # None = not probed yet
+
+
+def _resize_frames(frames: np.ndarray, size_hw: tuple[int, int],
+                   crop: tuple[int, int, int, int] | None = None) -> np.ndarray:
+    """Crop (optional) + bicubic resize of uint8 THWC frames.
+
+    Prefers the fused native libswscale kernel (measured ~6x faster than
+    per-frame PIL — the single hottest host stage feeding the TPU); falls
+    back to PIL when the native lib can't build."""
+    global _NATIVE_RESIZE
+    if _NATIVE_RESIZE is not False:
+        try:
+            from titok_tpu.data.video_reader import resize_frames
+
+            out = resize_frames(frames, size_hw, crop=crop)
+            _NATIVE_RESIZE = True
+            return out
+        except (OSError, ImportError, subprocess.CalledProcessError):
+            _NATIVE_RESIZE = False  # lib unavailable/unbuildable
+    if crop is not None:
+        cy, cx, ch, cw = crop
+        frames = frames[:, cy : cy + ch, cx : cx + cw]
+    return _resize_frames_pil(frames, size_hw)
 
 
 def random_resized_crop(
@@ -47,15 +74,14 @@ def random_resized_crop(
         if 0 < cw <= W and 0 < ch <= H:
             y = int(rng.integers(0, H - ch + 1))
             x = int(rng.integers(0, W - cw + 1))
-            crop = frames[:, y : y + ch, x : x + cw]
-            return _resize_frames(crop, out_hw)
+            return _resize_frames(frames, out_hw, crop=(y, x, ch, cw))
     # fallback: center crop of the largest window with the right ratio
     if W / H > ratio:
         ch, cw = H, int(round(H * ratio))
     else:
         cw, ch = W, int(round(W / ratio))
     y, x = (H - ch) // 2, (W - cw) // 2
-    return _resize_frames(frames[:, y : y + ch, x : x + cw], out_hw)
+    return _resize_frames(frames, out_hw, crop=(y, x, ch, cw))
 
 
 def resize_center_crop(frames: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:

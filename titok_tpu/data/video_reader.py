@@ -24,8 +24,15 @@ def _load_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+    sources = [os.path.join(_NATIVE_DIR, f)
+               for f in ("video_decoder.cpp", "packer.cpp",
+                         "frame_resize.cpp", "Makefile")]
+    stale = not os.path.exists(_LIB_PATH) or any(
+        os.path.exists(s) and os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
+        for s in sources
+    )
+    if stale:
+        subprocess.run(["make", "-B", "-C", _NATIVE_DIR], check=True,
                        capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)
     lib.vd_open_file.restype = ctypes.c_void_p
@@ -59,6 +66,12 @@ def _load_lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.fr_resize_frames.restype = ctypes.c_int
+    lib.fr_resize_frames.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
     ]
     _lib = lib
     return lib
@@ -157,4 +170,31 @@ def patchify_normalize(frames_thwc_uint8: np.ndarray,
         T, H, W, C, p0, p1, p2,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
+    return out
+
+
+def resize_frames(frames_thwc_uint8: np.ndarray, out_hw: Sequence[int],
+                  crop: Sequence[int] | None = None) -> np.ndarray:
+    """Fused crop + bicubic resize of a uint8 THWC frame stack via
+    libswscale (native/frame_resize.cpp) — the hot augmentation stage of
+    the chunk sampler (reference ``dataset/video_dataset.py:95-107``).
+
+    ``crop``: optional (y, x, h, w) window applied before the resize with
+    zero copies (pointer offset into the source stack).
+    """
+    lib = _load_lib()
+    frames = np.ascontiguousarray(frames_thwc_uint8, np.uint8)
+    T, H, W, C = frames.shape
+    assert C == 3, "RGB24 only"
+    cy, cx, ch, cw = crop if crop is not None else (0, 0, H, W)
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    out = np.empty((T, oh, ow, 3), np.uint8)
+    ret = lib.fr_resize_frames(
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        T, H, W, int(cy), int(cx), int(ch), int(cw),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), oh, ow,
+    )
+    if ret != 0:
+        raise ValueError(f"fr_resize_frames failed (code {ret}) for "
+                         f"crop=({cy},{cx},{ch},{cw}) of {H}x{W} -> {oh}x{ow}")
     return out
