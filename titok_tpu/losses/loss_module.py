@@ -56,7 +56,8 @@ class LossSystem:
     thing jits inside the train step.
     """
 
-    def __init__(self, config, cp_mesh=None, cp_axis: str = "seq"):
+    def __init__(self, config, cp_mesh=None, cp_axis: str = "seq",
+                 tp_mesh=None, tp_axis: str = "model"):
         loss_c = config.tokenizer.losses
         loss_d = config.discriminator.losses
         model_d = config.discriminator.model
@@ -103,6 +104,8 @@ class LossSystem:
             max_seg_len=_config_max_seg_len(config),
             cp_mesh=cp_mesh,
             cp_axis=cp_axis,
+            tp_mesh=tp_mesh,
+            tp_axis=tp_axis,
         )
 
     # -- discriminator plumbing -------------------------------------------

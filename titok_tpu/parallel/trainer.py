@@ -37,6 +37,13 @@ class DataParallelTrainer(Trainer):
         self.device_im = ()
         self.eval_metrics = EvalMetrics(config)
 
+    def _init_state_dp(self, stacked, stacked_disc, seed: int):
+        """Initialize train state from the first stacked group. DPTPTrainer
+        overrides this to place Megatron shardings on params + moments."""
+        return self.builder.init_state(
+            jax.random.PRNGKey(seed), stacked, stacked_disc
+        )
+
     def _shard_stacked(self, tree):
         """device_put a ``[D, ...]``-stacked batch tree onto the mesh.
         Plain DP shards the leading axis only; DPCPTrainer overrides this
@@ -73,9 +80,7 @@ class DataParallelTrainer(Trainer):
             stack_trees([e["disc"].device_arrays() for e in group_extras])
             if self.loss_system.use_disc else None
         )
-        state = self.builder.init_state(
-            jax.random.PRNGKey(seed), stacked, stacked_disc
-        )
+        state = self._init_state_dp(stacked, stacked_disc, seed)
         self._install_preemption_save(lambda: state)
         train_step = jax.jit(self.builder.make_train_step(self.lpips_params),
                              donate_argnums=(0,))

@@ -38,7 +38,14 @@ def main(argv):
 
     devices = int(config.training.main.get("train_devices", 1))
     cp_devices = int(config.training.main.get("cp_devices", 1))
-    if devices > 1 and cp_devices > 1:
+    tp_devices = int(config.training.main.get("tp_devices", 1))
+    assert not (cp_devices > 1 and tp_devices > 1), (
+        "choose one of cp_devices / tp_devices > 1 (each composes with "
+        "train_devices; a 3-axis mesh is not wired into a trainer)"
+    )
+    if tp_devices > 1:  # pure TP = DPTPTrainer with a 1-wide data axis
+        from titok_tpu.parallel.dptp import DPTPTrainer as TrainerCls
+    elif devices > 1 and cp_devices > 1:
         from titok_tpu.parallel.dpcp import DPCPTrainer as TrainerCls
     elif cp_devices > 1:
         from titok_tpu.parallel.cp_trainer import (
