@@ -40,3 +40,28 @@ def test_dp_fit(csv_file, tmp_path):
     assert any("train/gen/total_loss" in l for l in lines)
     assert any(l.get("perf/devices") == 4 for l in lines)
     assert any("eval/psnr" in l for l in lines)
+
+
+def test_dp_fit_resume(csv_file, tmp_path):
+    """resume_from_checkpoint is honored by the DP-family trainers
+    (previously only the single-device Trainer restored; the DP fit
+    initialized fresh and silently ignored the config key)."""
+    cfg = _cfg(csv_file, tmp_path / "dp_resume")
+    cfg.set_dotted("training.main.train_devices", 2)
+    cfg.set_dotted("training.main.max_steps", 2)
+    cfg.set_dotted("training.eval.eval_step_interval", 100)
+    cfg.set_dotted("general.checkpoints.save_interval", 2)
+    trainer = DataParallelTrainer(cfg)
+    state = trainer.fit()
+    assert int(state.step) == 2
+
+    cfg2 = _cfg(csv_file, tmp_path / "dp_resume")
+    cfg2.set_dotted("training.main.train_devices", 2)
+    cfg2.set_dotted("training.main.max_steps", 4)
+    cfg2.set_dotted("training.eval.eval_step_interval", 100)
+    cfg2.set_dotted("general.checkpoints.save_interval", 100)
+    cfg2.set_dotted("general.checkpoints.resume_from_checkpoint", True)
+    trainer2 = DataParallelTrainer(cfg2)
+    state2 = trainer2.fit()
+    # continued from step 2, ran 2 more
+    assert int(state2.step) == 4

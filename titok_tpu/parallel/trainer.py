@@ -38,11 +38,18 @@ class DataParallelTrainer(Trainer):
         self.eval_metrics = EvalMetrics(config)
 
     def _init_state_dp(self, stacked, stacked_disc, seed: int):
-        """Initialize train state from the first stacked group. DPTPTrainer
-        overrides this to place Megatron shardings on params + moments."""
-        return self.builder.init_state(
+        """Initialize (or restore) train state from the first stacked
+        group. DPTPTrainer overrides this to place Megatron shardings on
+        params + moments."""
+        state = self.builder.init_state(
             jax.random.PRNGKey(seed), stacked, stacked_disc
         )
+        state = self._maybe_restore(state)
+        # a restored state comes back committed to device 0 (orbax); spread
+        # it over the mesh so it is compatible with the sharded batches
+        from titok_tpu.parallel.mesh import replicated
+
+        return jax.device_put(state, replicated(self.mesh))
 
     def _shard_stacked(self, tree):
         """device_put a ``[D, ...]``-stacked batch tree onto the mesh.

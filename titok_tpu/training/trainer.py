@@ -189,6 +189,13 @@ class Trainer:
             jax.random.PRNGKey(seed), probe.device_arrays(), disc_arrs
         )
 
+        return self._maybe_restore(state)
+
+    def _maybe_restore(self, state):
+        """Apply resume_from_checkpoint / init_from_checkpoint (mutually
+        exclusive, reference train.py:239-241,265-267,285) to a freshly
+        initialized state. Shared by the single-device and DP-family
+        trainers."""
         ckpt_conf = self.config.general.checkpoints
         resume = ckpt_conf.get("resume_from_checkpoint", None)
         init = ckpt_conf.get("init_from_checkpoint", None)
