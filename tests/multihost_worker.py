@@ -1,0 +1,98 @@
+"""Worker process for the multi-host DP test (launched by
+tests/test_multihost.py, 2 processes x 2 local CPU devices = one global
+4-device ``data`` mesh over Gloo collectives).
+
+Each process builds the SAME four batches deterministically, feeds only its
+local two shards (``multihost.local_batch_slice``), runs one jitted DP
+generator step over the global mesh, and checks the psum'd loss equals the
+locally-computed mean over ALL four batches — i.e. cross-process gradient
+all-reduce really happened.
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    pid = int(sys.argv[1])
+    port = sys.argv[2]
+
+    from titok_tpu.parallel import multihost
+
+    multihost.initialize(
+        coordinator_address=f"localhost:{port}", num_processes=2,
+        process_id=pid,
+    )
+    assert jax.process_count() == 2
+    assert jax.local_device_count() == 2
+    assert jax.device_count() == 4
+
+    import jax.numpy as jnp
+
+    from tests.util import PATCH, synthetic_videos, tiny_config
+    from titok_tpu.data.packing import pack_samples
+    from titok_tpu.losses.loss_module import LossSystem
+    from titok_tpu.models.titok import make_titok
+    from titok_tpu.parallel.multihost import global_mesh, local_batch_slice
+    from titok_tpu.parallel.train_step import DPTrainStepBuilder
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = tiny_config()
+    model = make_titok(cfg)
+    ls = LossSystem(cfg)
+
+    D = 4
+    batches = [
+        pack_samples(synthetic_videos(np.random.default_rng(i), 2), [3, 5],
+                     seq_len=128, max_samples=4, patch_size=PATCH)
+        for i in range(D)
+    ]
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs), *[b.device_arrays() for b in batches]
+    )
+
+    builder = DPTrainStepBuilder(model, ls, cfg)
+    state = builder.init_state(jax.random.PRNGKey(0), stacked, None)
+
+    mesh = global_mesh()
+    start, count = local_batch_slice(D)
+    assert (start, count) == (pid * 2, 2), (start, count)
+    sharding = NamedSharding(mesh, P("data"))
+    global_batch = jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, x[start : start + count], global_shape=x.shape
+        ),
+        stacked,
+    )
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+
+    step = jax.jit(builder.make_train_step({}), donate_argnums=())
+    _, metrics, indices = step(state, global_batch, None, None)
+    got = float(metrics["gen/total_loss"])
+
+    # local ground truth over ALL batches (every process has the data)
+    def loss_of(params, arrs):
+        recon, _ = model.apply({"params": params}, arrs)
+        val, _ = ls.generator_loss({}, {}, recon, arrs, None, None)
+        return val
+
+    expected = float(np.mean(
+        [float(loss_of(state.gen_params, b.device_arrays())) for b in batches]
+    ))
+    assert abs(got - expected) < 1e-5, (got, expected)
+    assert indices.shape[0] == D
+    print(f"MULTIHOST_OK pid={pid} loss={got:.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
