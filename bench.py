@@ -204,6 +204,62 @@ def bench_train(seq_len=6144, clip=(8, 128, 128), token_count=64, iters=10):
     return results
 
 
+def bench_host_pipeline(seconds=6.0, clip_hw=192, clip_frames=64):
+    """Host decode -> chunk (native crop+resize) -> pack throughput on one
+    worker, no TPU involved. The host pipeline is the practical bottleneck
+    of real training on weak hosts (CLAUDE.md measured numbers), so the
+    bench artifact tracks it alongside device throughput."""
+    import tempfile
+
+    from titok_tpu.data.chunking import iter_video_chunks
+    from titok_tpu.data.packing import pack_samples
+    from titok_tpu.data.video_reader import VideoReader, encode_video
+
+    rng = np.random.default_rng(0)
+    # temporally-coherent content (running average of noise) so codec
+    # decode cost resembles real video rather than worst-case iid noise
+    frames = np.empty((clip_frames, clip_hw, clip_hw, 3), np.uint8)
+    acc = rng.uniform(0, 255, size=(clip_hw, clip_hw, 3))
+    for t in range(clip_frames):
+        acc = 0.9 * acc + 0.1 * rng.uniform(0, 255, size=acc.shape)
+        frames[t] = acc.astype(np.uint8)
+    path = os.path.join(tempfile.gettempdir(), "titok_bench_clip.mp4")
+    encode_video(path, frames, fps=8)
+
+    sampling = dict(patch_size=(4, 8, 8), min_grid=(8, 64, 64),
+                    max_grid=(16, 128, 128), fps_range=(3, 5),
+                    max_aspect_ratio=2.0, min_scale=0.25)
+    n_clips = n_tokens = 0
+    vids, tcs = [], []
+    deadline = time.perf_counter() + seconds
+    t0 = time.perf_counter()
+    while time.perf_counter() < deadline:
+        reader = VideoReader(path)
+        for chunk in iter_video_chunks(
+            reader, rng=rng, eval=False, **sampling
+        ):
+            v = chunk["video"]
+            grid = ((v.shape[0] // 4) * (v.shape[1] // 8) * (v.shape[2] // 8))
+            vids.append(np.transpose(v, (3, 0, 1, 2)).astype(np.float32)
+                        / 127.5 - 1.0)
+            tcs.append(64)
+            n_clips += 1
+            n_tokens += grid + 64
+            if sum(x.shape[1] * (x.shape[2] // 8) * (x.shape[3] // 8) // 4
+                   for x in vids) + 64 * len(vids) > 6144:
+                pack_samples(vids, tcs, seq_len=8192, max_samples=16,
+                             patch_size=(4, 8, 8))
+                vids, tcs = [], []
+        reader.close()
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "host pipeline decode+chunk+pack (1 worker)",
+        "value": round(n_clips / dt, 2),
+        "unit": "clips/sec/worker",
+        "tokens_per_sec": round(n_tokens / dt, 1),
+    }
+
+
 def main():
     import jax
 
@@ -269,6 +325,18 @@ def main():
             json.dump(results, open(TRAIN_LAST_PATH, "w"))
         finally:
             t.cancel()
+
+    # host pipeline (no TPU; can't wedge)
+    if os.environ.get("TITOK_BENCH_HOST", "1") != "0":
+        import sys
+
+        try:
+            print(json.dumps(bench_host_pipeline()), file=sys.stderr,
+                  flush=True)
+        except Exception as e:  # never fail the bench over the host line
+            print(json.dumps({"metric": "host pipeline", "value": 0.0,
+                              "note": f"failed: {e}"}), file=sys.stderr,
+                  flush=True)
 
 
 if __name__ == "__main__":
