@@ -2,11 +2,16 @@
 tests/test_multihost.py, 2 processes x 2 local CPU devices = one global
 4-device ``data`` mesh over Gloo collectives).
 
-Each process builds the SAME four batches deterministically, feeds only its
-local two shards (``multihost.local_batch_slice``), runs one jitted DP
-generator step over the global mesh, and checks the psum'd loss equals the
-locally-computed mean over ALL four batches — i.e. cross-process gradient
-all-reduce really happened.
+Two legs:
+- DP: each process builds the SAME four batches deterministically, feeds
+  only its local two shards (``multihost.local_batch_slice``), runs one
+  jitted DP generator step over the global mesh, and checks the psum'd
+  loss equals the locally-computed mean over ALL four batches — i.e.
+  cross-process gradient all-reduce really happened.
+- CP: one global PackedBatch sharded 4-way along ``seq`` across both
+  processes; the attention kv all-gather crosses the process boundary.
+  Per-shard recon/indices must match a locally-computed single-device
+  forward.
 """
 
 import os
@@ -92,6 +97,54 @@ def main():
     assert abs(got - expected) < 1e-5, (got, expected)
     assert indices.shape[0] == D
     print(f"MULTIHOST_OK pid={pid} loss={got:.6f}", flush=True)
+
+    # ---- CP leg: ONE global packed batch sharded 4-way along 'seq'
+    # ACROSS the two processes — the attention kv all-gather crosses the
+    # process boundary (Gloo here; DCN on a real multi-host pod) ----------
+    from jax.sharding import Mesh
+
+    from titok_tpu.parallel.cp import _SEQ_KEYS
+
+    mesh_cp = Mesh(np.asarray(jax.devices()), ("seq",))
+    gb = pack_samples(
+        synthetic_videos(np.random.default_rng(99), 2), [4, 6],
+        seq_len=128, max_samples=4, patch_size=PATCH,
+    )
+    arrs = gb.device_arrays()
+
+    def put(k, x):
+        if k in _SEQ_KEYS:
+            sh = NamedSharding(mesh_cp, P("seq"))
+            n = x.shape[0] // 4
+            local = np.asarray(x)[pid * 2 * n : (pid + 1) * 2 * n]
+            return jax.make_array_from_process_local_data(
+                sh, local, global_shape=x.shape
+            )
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh_cp, P()), np.asarray(x), global_shape=x.shape
+        )
+
+    cp_arrs = {k: put(k, v) for k, v in arrs.items()}
+    model_cp = make_titok(cfg, cp_mesh=mesh_cp)
+    params_cp = jax.device_put(state.gen_params, NamedSharding(mesh_cp, P()))
+    recon, aux = jax.jit(
+        lambda p, b: model_cp.apply({"params": p}, b)
+    )(params_cp, cp_arrs)
+
+    # local single-device ground truth (every process has the full batch)
+    exp_recon, exp_aux = model.apply({"params": state.gen_params}, arrs)
+    exp_recon = np.asarray(exp_recon, np.float32)
+    exp_idx = np.asarray(exp_aux["indices"])
+    for s in recon.addressable_shards:
+        rows = s.index[0]
+        np.testing.assert_allclose(
+            np.asarray(s.data, np.float32), exp_recon[rows], atol=2e-5,
+            rtol=1e-4,
+        )
+    for s in aux["indices"].addressable_shards:
+        np.testing.assert_array_equal(np.asarray(s.data),
+                                      exp_idx[s.index[0]])
+    print(f"MULTIHOST_CP_OK pid={pid}", flush=True)
 
 
 if __name__ == "__main__":

@@ -75,6 +75,56 @@ def test_cp_train_step_equals_single(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
 
+def test_cp_train_step_vq_family_equals_single(rng):
+    """CP with quantizer=vq: the seq-sharded EMA-VQ lookup (shard_map'd
+    Pallas/reference kernel, ops/vq_distance.vq_nearest_cp) + psum'd EMA
+    statistics reproduce the single-device step: indices exact, codebook
+    and params within float-reassociation tolerance."""
+    cfg = tiny_config(**{
+        "tokenizer.losses.disc_weight": 0.4,
+        "training.sampling.train_seq_len": 256,
+        "tokenizer.model.quantizer": "vq",
+        "tokenizer.model.vq": {"codebook_size": 64, "dim": 4},
+    })
+    mesh = make_cp_mesh(N_SHARDS)
+
+    batch = _global_batch(rng)
+    disc = build_disc_batch(batch, disc_tokens=4, pad_to=N_SHARDS)
+
+    model_1 = make_titok(cfg)
+    ls_1 = LossSystem(cfg)
+    b1 = TrainStepBuilder(model_1, ls_1, cfg)
+    state = b1.init_state(jax.random.PRNGKey(0), batch.device_arrays(),
+                          disc.device_arrays())
+    assert state.vq_state != ()
+    step_1 = jax.jit(b1.make_train_step({}), donate_argnums=())
+    s1, m1, idx1 = step_1(state, batch.device_arrays(),
+                          disc.device_arrays(), None)
+
+    model_cp = make_titok(cfg, cp_mesh=mesh)
+    ls_cp = LossSystem(cfg, cp_mesh=mesh)
+    bcp = TrainStepBuilder(model_cp, ls_cp, cfg)
+    bcp.make_optimizers()
+    step_cp = jax.jit(bcp.make_train_step({}), donate_argnums=())
+    scp, mcp, idxcp = step_cp(
+        state, shard_packed_tree(batch.device_arrays(), mesh),
+        shard_packed_tree(disc.device_arrays(), mesh), None,
+    )
+
+    for k in ("gen/total_loss", "gen/recon_loss", "gen/commit_loss",
+              "disc/total_loss"):
+        np.testing.assert_allclose(float(mcp[k]), float(m1[k]), atol=2e-5,
+                                   err_msg=k)
+    np.testing.assert_array_equal(np.asarray(idxcp), np.asarray(idx1))
+    np.testing.assert_allclose(np.asarray(scp.vq_state.codebook),
+                               np.asarray(s1.vq_state.codebook), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(scp.vq_state.ema_counts),
+                               np.asarray(s1.vq_state.ema_counts), atol=3e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(scp.gen_params),
+                    jax.tree_util.tree_leaves(s1.gen_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
 def test_cp_batch_actually_sharded(rng):
     mesh = make_cp_mesh(N_SHARDS)
     batch = _global_batch(rng)

@@ -44,3 +44,4 @@ def test_two_process_dp_step():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
         assert f"MULTIHOST_OK pid={pid}" in out, out[-3000:]
+        assert f"MULTIHOST_CP_OK pid={pid}" in out, out[-3000:]

@@ -101,6 +101,7 @@ class TiTok(nn.Module):
                 self.vq_codebook_size, self.vq_dim,
                 commitment_weight=self.vq_commitment_weight,
                 decay=self.vq_decay,
+                cp_mesh=self.cp_mesh, cp_axis=self.cp_axis,
             )
         self.decoder = PackedDecoder(
             model_size=self.decoder_size,

@@ -75,7 +75,8 @@ class Attn(nn.Module):
     cp_axis: str = "seq"
     # tensor parallelism: run the attention kernel head-parallel inside
     # shard_map over this mesh's tp_axis (composes with shard_params_tp's
-    # column/row-parallel projections; mutually exclusive with cp_mesh)
+    # column/row-parallel projections; with cp_mesh ALSO set — same mesh,
+    # different axes — attention runs the combined seq x head shard_map)
     tp_mesh: Any = None
     tp_axis: str = "model"
 
@@ -105,7 +106,19 @@ class Attn(nn.Module):
             q = apply_rotary_emb(q, rope_cos, rope_sin)
             k = apply_rotary_emb(k, rope_cos, rope_sin)
 
-        if self.cp_mesh is not None:
+        if self.cp_mesh is not None and self.tp_mesh is not None:
+            # 3-axis composition: rows sharded along cp_axis AND heads
+            # along tp_axis of the same mesh (parallel/dpcptp.py)
+            from titok_tpu.parallel.context_parallel import (
+                cptp_segment_attention,
+            )
+
+            o = cptp_segment_attention(
+                q, k, v, segment_ids, self.cp_mesh,
+                seq_axis=self.cp_axis, tp_axis=self.tp_axis,
+                impl=self.attn_impl,
+            )
+        elif self.cp_mesh is not None:
             from titok_tpu.parallel.context_parallel import cp_segment_attention
 
             o = cp_segment_attention(

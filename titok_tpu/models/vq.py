@@ -53,7 +53,7 @@ class EMAVQ:
     def __init__(self, codebook_size: int, dim: int,
                  commitment_weight: float = 0.25, decay: float = 0.99,
                  eps: float = 1e-5, dead_threshold: float = 1e-3,
-                 impl: str = "auto"):
+                 impl: str = "auto", cp_mesh=None, cp_axis: str = "seq"):
         self.codebook_size = int(codebook_size)
         self.codebook_dim = int(dim)
         self.commitment_weight = float(commitment_weight)
@@ -61,6 +61,11 @@ class EMAVQ:
         self.eps = float(eps)
         self.dead_threshold = float(dead_threshold)
         self.impl = impl
+        # context parallelism: run the lookup per seq shard inside
+        # shard_map (titok_tpu/ops/vq_distance.vq_nearest_cp) — rows are
+        # independent and the codebook is replicated
+        self.cp_mesh = cp_mesh
+        self.cp_axis = cp_axis
 
     # -- forward ----------------------------------------------------------
     def __call__(self, z: jnp.ndarray, state: VQState,
@@ -77,7 +82,16 @@ class EMAVQ:
         zf = z.astype(jnp.float32)
         cb = jax.lax.stop_gradient(state.codebook)
 
-        indices, _ = vq_nearest(jax.lax.stop_gradient(zf), cb, impl=self.impl)
+        if self.cp_mesh is not None:
+            from titok_tpu.ops.vq_distance import vq_nearest_cp
+
+            indices, _ = vq_nearest_cp(
+                jax.lax.stop_gradient(zf), cb, self.cp_mesh,
+                axis=self.cp_axis, impl=self.impl,
+            )
+        else:
+            indices, _ = vq_nearest(jax.lax.stop_gradient(zf), cb,
+                                    impl=self.impl)
         quantized = cb[indices]  # [S, D]
 
         S = zf.shape[0]

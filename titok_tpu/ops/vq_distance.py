@@ -113,3 +113,24 @@ def vq_nearest(z, codebook, impl: str = "auto"):
     if impl == "pallas":
         return vq_nearest_pallas(z, codebook)
     return vq_nearest_reference(z, codebook)
+
+
+def vq_nearest_cp(z, codebook, mesh, axis: str = "seq", impl: str = "auto"):
+    """Sequence-sharded nearest neighbor for context parallelism.
+
+    Per-row argmin depends only on that row and the (replicated) codebook,
+    so the kernel is embarrassingly parallel along the packed [S] axis:
+    each chip runs it on its local rows inside ``shard_map`` with zero
+    collectives. This is what makes the EMA-VQ family CP-compatible — the
+    EMA statistics downstream (one-hot counts/sums) are contractions over
+    S that the SPMD partitioner reduces with a psum on its own."""
+    from jax.sharding import PartitionSpec as P
+
+    fn = jax.shard_map(
+        functools.partial(vq_nearest, impl=impl),
+        mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+    return fn(z, codebook)

@@ -64,6 +64,49 @@ def _local_cp_attention(q, k, v, seg, axis, impl):
     return out.astype(q.dtype)
 
 
+def cptp_segment_attention(
+    q: jnp.ndarray,        # [S_global, Hq, D] sharded (seq_axis, tp_axis)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    segment_ids: jnp.ndarray,  # [S_global] sharded (seq_axis,)
+    mesh: Mesh,
+    seq_axis: str = "seq",
+    tp_axis: str = "model",
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Sequence x head sharded segment attention over two mesh axes.
+
+    Composition of :func:`cp_segment_attention` (rows sharded, kv gathered
+    over the ``seq`` ring) with head-parallel TP
+    (``tensor_parallel.tp_segment_attention``): each chip owns an
+    ``[S/n_seq, Hq/n_tp, D]`` q tile, all-gathers its *local head group's*
+    kv over the ``seq`` ring only, and runs the flash kernel locally. The
+    two parallelisms don't interact: softmax is per-head (TP needs no
+    collectives) and the kv gather is per-ring (CP's only collective), so
+    the local body is exactly the CP one — only the shard_map specs differ.
+    Used by the 3-axis [data, seq, model] trainer (``parallel/dpcptp.py``);
+    the reference has neither (it is single-device, SURVEY.md §2.3).
+    """
+    if impl == "auto":
+        impl = "flash" if jax.default_backend() == "tpu" else "reference"
+    if impl == "flash_rope":  # rotation happens before the kv gather
+        impl = "flash"
+    n_tp = mesh.shape[tp_axis]
+    assert q.shape[1] % n_tp == 0 and k.shape[1] % n_tp == 0, (
+        f"q heads {q.shape[1]} and kv heads {k.shape[1]} must divide the "
+        f"{tp_axis!r} mesh axis ({n_tp})"
+    )
+    fn = jax.shard_map(
+        functools.partial(_local_cp_attention, axis=seq_axis, impl=impl),
+        mesh=mesh,
+        in_specs=(P(seq_axis, tp_axis), P(seq_axis, tp_axis),
+                  P(seq_axis, tp_axis), P(seq_axis)),
+        out_specs=P(seq_axis, tp_axis),
+        check_vma=False,
+    )
+    return fn(q, k, v, segment_ids)
+
+
 def cp_segment_attention(
     q: jnp.ndarray,        # [S_global, Hq, D] sharded along axis
     k: jnp.ndarray,

@@ -31,10 +31,9 @@ class ContextParallelTrainer(Trainer):
             assert int(cs[key]) % self.n_shards == 0, (
                 f"{key}={cs[key]} must divide cp_devices={self.n_shards}"
             )
-        assert str(config.tokenizer.model.get("quantizer", "fsq")) == "fsq", (
-            "CP currently supports the FSQ family (the EMA-VQ Pallas argmin "
-            "kernel is not partitionable along the sharded axis yet)"
-        )
+        # both quantizer families are CP-compatible: FSQ is elementwise, and
+        # the EMA-VQ lookup runs per seq shard inside shard_map
+        # (ops/vq_distance.vq_nearest_cp; EMA stats psum'd by the partitioner)
         self.mesh = make_cp_mesh(self.n_shards)
         # rebuild the module tree with the CP mesh threaded into attention
         self.model = make_titok(config, cp_mesh=self.mesh)

@@ -82,11 +82,9 @@ class DPCPTrainer(DataParallelTrainer):
             assert int(cs[key]) % self.n_cp == 0, (
                 f"{key}={cs[key]} must divide cp_devices={self.n_cp}"
             )
-        assert str(config.tokenizer.model.get("quantizer", "fsq")) == "fsq", (
-            "DPxCP currently supports the FSQ family (same bound as the CP "
-            "trainer: the EMA-VQ Pallas argmin kernel is not partitionable "
-            "along the sharded seq axis)"
-        )
+        # both quantizer families work: the EMA-VQ lookup is seq-sharded via
+        # shard_map (ops/vq_distance.vq_nearest_cp) and batches over 'data'
+        # through the same spmd_axis_name mechanism as attention
         self.mesh = make_dpcp_mesh(self.n_devices, self.n_cp)
         # rebuild the module tree with the 2D mesh threaded into attention;
         # the attention shard_map names only 'seq' — 'data' is injected by

@@ -39,11 +39,10 @@ def main(argv):
     devices = int(config.training.main.get("train_devices", 1))
     cp_devices = int(config.training.main.get("cp_devices", 1))
     tp_devices = int(config.training.main.get("tp_devices", 1))
-    assert not (cp_devices > 1 and tp_devices > 1), (
-        "choose one of cp_devices / tp_devices > 1 (each composes with "
-        "train_devices; a 3-axis mesh is not wired into a trainer)"
-    )
-    if tp_devices > 1:  # pure TP = DPTPTrainer with a 1-wide data axis
+    if cp_devices > 1 and tp_devices > 1:
+        # full 3-axis [data, seq, model] mesh (data may be 1-wide)
+        from titok_tpu.parallel.dpcptp import DPCPTPTrainer as TrainerCls
+    elif tp_devices > 1:  # pure TP = DPTPTrainer with a 1-wide data axis
         from titok_tpu.parallel.dptp import DPTPTrainer as TrainerCls
     elif devices > 1 and cp_devices > 1:
         from titok_tpu.parallel.dpcp import DPCPTrainer as TrainerCls
