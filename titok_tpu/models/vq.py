@@ -105,11 +105,14 @@ class EMAVQ:
         # straight-through
         codes = zf + jax.lax.stop_gradient(quantized - zf)
 
-        # batch EMA statistics
-        onehot = jax.nn.one_hot(indices, self.codebook_size, dtype=jnp.float32)
-        onehot = onehot * w[:, None]
-        counts = onehot.sum(0)                       # [N]
-        sums = onehot.T @ jax.lax.stop_gradient(zf)  # [N, D]
+        # batch EMA statistics via scatter-add: the one-hot formulation
+        # would materialize [S, N] in HBM (6144 x 16384 x 4B = 400 MB for
+        # the 16k codebook) for a trivial matmul; scatter touches only
+        # [N] + [N, D] outputs and S x D inputs
+        zs = jax.lax.stop_gradient(zf)
+        counts = jnp.zeros((self.codebook_size,), jnp.float32).at[indices].add(w)
+        sums = jnp.zeros((self.codebook_size, self.codebook_dim),
+                         jnp.float32).at[indices].add(zs * w[:, None])
 
         probs = counts / jnp.maximum(counts.sum(), 1.0)
         entropy = -jnp.sum(jnp.where(probs > 0, probs * jnp.log(probs), 0.0))
