@@ -1,0 +1,120 @@
+"""Supervised training: auto-restarting train.py with elastic recovery.
+
+The reference has no failure detection or recovery at all (SURVEY.md §5);
+a crashed or OOM-killed run just loses everything since the last periodic
+checkpoint. This supervisor wraps the training CLI with both:
+
+- **failure recovery**: if the child dies unexpectedly (crash, OOM kill),
+  it is relaunched with ``resume_from_checkpoint=true`` and continues from
+  the last checkpoint;
+- **proactive memory-bound restart**: when the child's RSS crosses
+  ``--rss-limit-gb``, the supervisor sends SIGTERM — the trainer's
+  preemption handler (``training/trainer.py:_install_preemption_save``)
+  checkpoints *the current step* and exits 143 — then relaunches with
+  resume, losing zero steps. This matters on hosts where some runtime
+  layer leaks per-step (e.g. a relay/virtualized device client pinning
+  every H2D buffer): a multi-day run survives by recycling the process.
+
+Usage (same CLI surface as train.py, plus supervisor flags):
+
+    python tools/train_supervised.py config=configs/tiny.yaml \
+        [dotted.overrides=...] [--rss-limit-gb 80] [--poll-sec 20] \
+        [--max-restarts 50]
+
+Exit code is the child's final exit code (0 = trained to max_steps).
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+
+def _rss_gb(pid: int) -> float:
+    try:
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / (1024 * 1024)
+    except OSError:
+        pass
+    return 0.0
+
+
+def main(argv: list[str]) -> int:
+    rss_limit = 80.0
+    poll_sec = 20.0
+    max_restarts = 50
+    # don't enforce the RSS limit until the child has had time to reach
+    # the training loop: before that the preemption handler isn't
+    # installed yet and SIGTERM would kill without a save
+    min_lifetime = 180.0
+    child_args = []
+    it = iter(argv)
+    for a in it:
+        if a == "--rss-limit-gb":
+            rss_limit = float(next(it))
+        elif a == "--poll-sec":
+            poll_sec = float(next(it))
+        elif a == "--max-restarts":
+            max_restarts = int(next(it))
+        elif a == "--min-lifetime-sec":
+            min_lifetime = float(next(it))
+        else:
+            child_args.append(a)
+
+    save_path = "out_ckpt"
+    for a in child_args:
+        if a.startswith("general.checkpoints.save_path="):
+            save_path = a.split("=", 1)[1]
+
+    def have_checkpoint() -> bool:
+        try:
+            return any(d.isdigit() for d in os.listdir(save_path))
+        except OSError:
+            return False
+
+    train_py = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "train.py"
+    )
+    restarts = 0
+    while True:
+        args = [sys.executable, train_py, *child_args]
+        if restarts > 0 and have_checkpoint():
+            args.append("general.checkpoints.resume_from_checkpoint=true")
+        print(f"[supervisor] launch (restart {restarts}): {' '.join(args[2:])}",
+              flush=True)
+        child = subprocess.Popen(args)
+        t_start = time.time()
+        term_sent = False
+        while True:
+            rc = child.poll()
+            if rc is not None:
+                break
+            rss = _rss_gb(child.pid)
+            if (rss > rss_limit and not term_sent
+                    and time.time() - t_start > min_lifetime):
+                print(f"[supervisor] RSS {rss:.1f} GB > {rss_limit} GB — "
+                      "SIGTERM for checkpoint-and-restart", flush=True)
+                child.send_signal(signal.SIGTERM)
+                term_sent = True
+            time.sleep(poll_sec)
+
+        if rc == 0:
+            print("[supervisor] child completed", flush=True)
+            return 0
+        restarts += 1
+        if restarts > max_restarts:
+            print(f"[supervisor] giving up after {restarts} restarts "
+                  f"(last rc={rc})", flush=True)
+            return rc
+        kind = "planned (preemption save)" if rc == 143 else f"unexpected rc={rc}"
+        print(f"[supervisor] child exited — {kind}; resuming", flush=True)
+        resumed = True
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
