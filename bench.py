@@ -245,8 +245,13 @@ def bench_host_pipeline(seconds=6.0, clip_hw=192, clip_frames=64):
             tcs.append(64)
             n_clips += 1
             n_tokens += grid + 64
-            if sum(x.shape[1] * (x.shape[2] // 8) * (x.shape[3] // 8) // 4
-                   for x in vids) + 64 * len(vids) > 6144:
+            # flush on the sample cap too: small chunks can hit 16 clips
+            # before the token budget trips (pack_samples raises past
+            # max_samples)
+            if len(vids) >= 16 or sum(
+                x.shape[1] * (x.shape[2] // 8) * (x.shape[3] // 8) // 4
+                for x in vids
+            ) + 64 * len(vids) > 6144:
                 pack_samples(vids, tcs, seq_len=8192, max_samples=16,
                              patch_size=(4, 8, 8))
                 vids, tcs = [], []
