@@ -125,3 +125,51 @@ def test_train_cli(tmp_path, video_dir):
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert os.path.exists(tmp_path / "out" / "metrics.jsonl")
+
+
+def test_supervisor_resolves_save_path_from_yaml(tmp_path):
+    """ADVICE r2 (medium): the supervisor must see the YAML's save_path,
+    not only the dotted CLI override, or post-crash relaunches silently
+    restart from step 0."""
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        from train_supervised import resolve_save_path
+    finally:
+        sys.path.pop(0)
+
+    cfgpath = str(tmp_path / "cfg.yaml")
+    with open(cfgpath, "w") as f:
+        f.write("general:\n  checkpoints:\n    save_path: /tmp/from_yaml\n")
+    assert resolve_save_path([f"config={cfgpath}"]) == "/tmp/from_yaml"
+    # dotted CLI override wins over the YAML, matching train.py
+    assert resolve_save_path(
+        [f"config={cfgpath}", "general.checkpoints.save_path=/tmp/cli"]
+    ) == "/tmp/cli"
+    assert resolve_save_path([]) == "out_ckpt"
+
+
+def test_compilation_cache_writes_entries(tmp_path, monkeypatch):
+    """setup_compilation_cache points JAX's persistent cache at the
+    configured dir and compiled programs actually land there."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.util import tiny_config
+    from titok_tpu.train_utils.compile_cache import setup_compilation_cache
+
+    cache_dir = str(tmp_path / "xla_cache")
+    cfg = tiny_config()
+    cfg.set_dotted("training.main.compilation_cache_dir", cache_dir)
+    assert setup_compilation_cache(cfg) == cache_dir
+
+    @jax.jit
+    def f(x):
+        return jnp.tanh(x) @ x
+
+    f(jnp.ones((64, 64))).block_until_ready()
+    entries = os.listdir(cache_dir)
+    assert entries, "no persistent-cache entries written"
+
+    # disabled by explicit empty value
+    cfg.set_dotted("training.main.compilation_cache_dir", "")
+    assert setup_compilation_cache(cfg) is None

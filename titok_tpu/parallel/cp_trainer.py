@@ -29,7 +29,7 @@ class ContextParallelTrainer(Trainer):
         cs = config.training.sampling
         for key in ("train_seq_len", "eval_seq_len"):
             assert int(cs[key]) % self.n_shards == 0, (
-                f"{key}={cs[key]} must divide cp_devices={self.n_shards}"
+                f"{key}={cs[key]} must be divisible by cp_devices={self.n_shards}"
             )
         # both quantizer families are CP-compatible: FSQ is elementwise, and
         # the EMA-VQ lookup runs per seq shard inside shard_map

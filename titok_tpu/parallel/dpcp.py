@@ -80,7 +80,7 @@ class DPCPTrainer(DataParallelTrainer):
         cs = config.training.sampling
         for key in ("train_seq_len", "eval_seq_len"):
             assert int(cs[key]) % self.n_cp == 0, (
-                f"{key}={cs[key]} must divide cp_devices={self.n_cp}"
+                f"{key}={cs[key]} must be divisible by cp_devices={self.n_cp}"
             )
         # both quantizer families work: the EMA-VQ lookup is seq-sharded via
         # shard_map (ops/vq_distance.vq_nearest_cp) and batches over 'data'

@@ -88,6 +88,9 @@ def select_data_backend(config):
 
 class Trainer:
     def __init__(self, config, batches_fn=None):
+        from titok_tpu.train_utils.compile_cache import setup_compilation_cache
+
+        setup_compilation_cache(config)
         self.config = config
         self.model = make_titok(config)
         self.loss_system = LossSystem(config)

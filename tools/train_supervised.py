@@ -44,6 +44,28 @@ def _rss_gb(pid: int) -> float:
     return 0.0
 
 
+def resolve_save_path(child_args: list[str]) -> str:
+    """The run's checkpoint dir, resolved the same way train.py will:
+    YAML ``config=`` first, then dotted CLI overrides."""
+    save_path = "out_ckpt"
+    for a in child_args:
+        if a.startswith("config="):
+            try:
+                import yaml
+
+                with open(a.split("=", 1)[1]) as f:
+                    cfg = yaml.safe_load(f)
+                save_path = (cfg.get("general", {}).get("checkpoints", {})
+                             .get("save_path")) or save_path
+            except Exception as e:  # noqa: BLE001 - best effort, CLI may override
+                print(f"[supervisor] could not read save_path from config: {e}",
+                      flush=True)
+    for a in child_args:
+        if a.startswith("general.checkpoints.save_path="):
+            save_path = a.split("=", 1)[1]
+    return save_path
+
+
 def main(argv: list[str]) -> int:
     rss_limit = 80.0
     poll_sec = 20.0
@@ -66,10 +88,9 @@ def main(argv: list[str]) -> int:
         else:
             child_args.append(a)
 
-    save_path = "out_ckpt"
-    for a in child_args:
-        if a.startswith("general.checkpoints.save_path="):
-            save_path = a.split("=", 1)[1]
+    # Parsing only the CLI here once sent a crashed child back to step 0
+    # because the YAML's save_path was checked against the wrong directory.
+    save_path = resolve_save_path(child_args)
 
     def have_checkpoint() -> bool:
         try:
@@ -89,18 +110,30 @@ def main(argv: list[str]) -> int:
               flush=True)
         child = subprocess.Popen(args)
         t_start = time.time()
-        term_sent = False
+        term_sent_at = None
+        # If the preemption save hangs (e.g. the device relay wedges
+        # mid-checkpoint), escalate to SIGKILL after a grace period so
+        # the leaked RSS cannot grow until the host OOM-kills something;
+        # the relaunch resumes from the last periodic checkpoint.
+        term_grace = 600.0
         while True:
             rc = child.poll()
             if rc is not None:
                 break
             rss = _rss_gb(child.pid)
-            if (rss > rss_limit and not term_sent
+            if (rss > rss_limit and term_sent_at is None
                     and time.time() - t_start > min_lifetime):
                 print(f"[supervisor] RSS {rss:.1f} GB > {rss_limit} GB — "
                       "SIGTERM for checkpoint-and-restart", flush=True)
                 child.send_signal(signal.SIGTERM)
-                term_sent = True
+                term_sent_at = time.time()
+            elif (term_sent_at is not None
+                    and time.time() - term_sent_at > term_grace):
+                print(f"[supervisor] child ignored SIGTERM for "
+                      f"{term_grace:.0f}s (wedged save?) — SIGKILL",
+                      flush=True)
+                child.kill()
+                term_sent_at = None
             time.sleep(poll_sec)
 
         if rc == 0:
@@ -113,7 +146,6 @@ def main(argv: list[str]) -> int:
             return rc
         kind = "planned (preemption save)" if rc == 143 else f"unexpected rc={rc}"
         print(f"[supervisor] child exited — {kind}; resuming", flush=True)
-        resumed = True
 
 
 if __name__ == "__main__":
