@@ -226,25 +226,40 @@ class TiTokModel:
     """
 
     def __init__(self, module: TiTok, params=None, seed: int = 0,
-                 seq_len: int = 4096, min_grid: Sequence[int] = (8, 128, 128)):
+                 seq_len: int = 4096, min_grid: Sequence[int] = (8, 128, 128),
+                 vq_state=None):
         self.module = module
         self.seq_len = seq_len
         self.max_samples = max_samples_for(seq_len, min_grid, module.patch_size)
+        # EMA-VQ family: the codebook is inference state exactly like the
+        # params (ref ``titok.py:54-62`` decodes indices through it); thread
+        # it through every jitted closure. None for FSQ.
+        if module.quantizer == "vq" and vq_state is None:
+            from titok_tpu.models.vq import init_vq_state
+
+            vq_state = init_vq_state(
+                jax.random.PRNGKey(seed + 1),
+                module.vq_codebook_size, module.vq_dim,
+            )
+        self.vq_state = vq_state
         if params is None:
             params = self.init_params(seed)
         self.params = params
         self._jit_forward = jax.jit(
-            lambda p, b: self.module.apply({"params": p}, b)
+            lambda p, vqs, b: self.module.apply({"params": p}, b, vqs)
         )
         self._jit_decode_indices = jax.jit(
-            lambda p, idx, b: self.module.apply(
-                {"params": p}, idx, b, method=self.module.decode_indices_packed
+            lambda p, vqs, idx, b: self.module.apply(
+                {"params": p}, idx, b, vqs,
+                method=self.module.decode_indices_packed,
             )
         )
 
     def init_params(self, seed: int = 0):
         d = self._dummy_batch()
-        return self.module.init(jax.random.PRNGKey(seed), d)["params"]
+        return self.module.init(
+            jax.random.PRNGKey(seed), d, self.vq_state
+        )["params"]
 
     def _dummy_batch(self) -> dict:
         ps = list(self.module.patch_size)
@@ -293,7 +308,9 @@ class TiTokModel:
         for group in self._groups(videos, token_counts):
             batch = self._pack([videos[i] for i in group],
                                [token_counts[i] for i in group])
-            _, aux = self._jit_forward(self.params, batch.device_arrays())
+            _, aux = self._jit_forward(
+                self.params, self.vq_state, batch.device_arrays()
+            )
             idx = np.asarray(aux["indices"])
             for j, i in enumerate(group):
                 per_sample[i] = unpack_indices(idx, batch)[j]
@@ -329,7 +346,7 @@ class TiTokModel:
                     indices[i], np.int32
                 )
             recon = self._jit_decode_indices(
-                self.params, flat, batch.device_arrays()
+                self.params, self.vq_state, flat, batch.device_arrays()
             )
             vids = unpack_videos(np.asarray(recon, np.float32), batch, ps)
             for j, i in enumerate(group):
@@ -344,7 +361,9 @@ class TiTokModel:
         for group in self._groups(videos, token_counts):
             batch = self._pack([videos[i] for i in group],
                                [token_counts[i] for i in group])
-            recon, aux = self._jit_forward(self.params, batch.device_arrays())
+            recon, aux = self._jit_forward(
+                self.params, self.vq_state, batch.device_arrays()
+            )
             vids = unpack_videos(np.asarray(recon, np.float32), batch,
                                  list(self.module.patch_size))
             idxs = unpack_indices(np.asarray(aux["indices"]), batch)

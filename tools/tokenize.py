@@ -67,6 +67,23 @@ def _load_model(config_path: str, ckpt: str | None, token_count: int):
         params = restored.get("gen_params", restored) if isinstance(
             restored, dict) else restored.gen_params
         model.params = jax.tree_util.tree_map(np.asarray, params)
+        # EMA-VQ family: the trained codebook is inference state; a
+        # checkpoint without it cannot decode indices (ref titok.py:54-62)
+        if module.quantizer == "vq":
+            from titok_tpu.models.vq import VQState
+
+            vqs = restored.get("vq_state") if isinstance(restored, dict) \
+                else getattr(restored, "vq_state", None)
+            if not vqs:
+                raise RuntimeError(
+                    f"checkpoint {path} has no vq_state but the config "
+                    "selects quantizer: vq"
+                )
+            model.vq_state = VQState(
+                codebook=np.asarray(vqs["codebook"], np.float32),
+                ema_counts=np.asarray(vqs["ema_counts"], np.float32),
+                ema_sums=np.asarray(vqs["ema_sums"], np.float32),
+            )
     return cfg, model
 
 
