@@ -99,7 +99,8 @@ def _watchdog():
     return t
 
 
-def _bench_config(seq_len, token_range):
+def _bench_config(seq_len, token_range, model_size="tiny", clip=(8, 128, 128),
+                  remat=False):
     """tiny.yaml-shaped config for the train-step benchmarks."""
     from titok_tpu.config import Config
 
@@ -107,13 +108,13 @@ def _bench_config(seq_len, token_range):
         "general": {"wandb": {}, "checkpoints": {}},
         "tokenizer": {
             "model": {"patch_size": [4, 8, 8], "fsq_levels": [7, 5, 5, 5, 5],
-                      "encoder_size": "tiny", "decoder_size": "tiny"},
+                      "encoder_size": model_size, "decoder_size": model_size},
             "losses": {"disc_weight": 0.0, "perceptual_weight": 0.0,
                        "gram_weight": 0.0, "perceptual_samples_per_step": 2,
                        "perceptual_sampling_size": 128},
         },
         "discriminator": {
-            "model": {"patch_size": [4, 8, 8], "model_size": "tiny"},
+            "model": {"patch_size": [4, 8, 8], "model_size": model_size},
             "losses": {"gp_weight": 0.1, "gp_noise": 0.1,
                        "centering_weight": 0.01},
         },
@@ -123,12 +124,13 @@ def _bench_config(seq_len, token_range):
         "dataset": {"train_dataset": "synthetic", "eval_dataset": "synthetic"},
         "training": {
             "sampling": {"token_range": list(token_range),
-                         "min_grid": [8, 128, 128], "max_grid": [8, 128, 128],
+                         "min_grid": list(clip), "max_grid": list(clip),
                          "fps_range": [3, 5], "max_aspect_ratio": 2,
                          "min_scale": 0.8, "train_seq_len": seq_len,
                          "eval_seq_len": seq_len},
             "main": {"max_steps": 1000, "precision": "bf16-mixed", "seed": 0,
-                     "max_grad_norm": 1.0, "attn_impl": "auto"},
+                     "max_grad_norm": 1.0, "attn_impl": "auto",
+                     "remat": remat},
             "eval": {"eval_step_interval": 0, "eval_samples": 0,
                      "log_codebook": False, "log_metrics": [],
                      "log_recon_num": 0, "random_recon": False},
@@ -136,7 +138,9 @@ def _bench_config(seq_len, token_range):
     })
 
 
-def bench_train(seq_len=6144, clip=(8, 128, 128), token_count=64, iters=10):
+def bench_train(seq_len=6144, clip=(8, 128, 128), token_count=64, iters=10,
+                model_size="tiny", remat=False, variants=("L1", "L1+GAN"),
+                tag="tiny cfg"):
     """Train-step throughput (VERDICT r1 weak #8): L1-only and L1+GAN
     clips/sec/chip, scan-chained like the forward bench. Each variant gets
     its own watchdog so a relay wedge mid-train-bench still emits the last
@@ -164,7 +168,10 @@ def bench_train(seq_len=6144, clip=(8, 128, 128), token_count=64, iters=10):
 
     results = {}
     for name, disc_weight in (("L1", 0.0), ("L1+GAN", 0.4)):
-        cfg = _bench_config(seq_len, (token_count, token_count))
+        if name not in variants:
+            continue
+        cfg = _bench_config(seq_len, (token_count, token_count),
+                            model_size=model_size, clip=clip, remat=remat)
         cfg.set_dotted("tokenizer.losses.disc_weight", disc_weight)
         model = make_titok(cfg)
         ls = LossSystem(cfg)
@@ -193,7 +200,7 @@ def bench_train(seq_len=6144, clip=(8, 128, 128), token_count=64, iters=10):
 
         clips_per_sec = n * iters / dt
         line = {
-            "metric": f"clips/sec/chip train-step {name} (tiny cfg, "
+            "metric": f"clips/sec/chip train-step {name} ({tag}, "
                       f"{clip[0]}x{clip[1]}^2 clips, seq {seq_len})",
             "value": round(clips_per_sec, 3),
             "unit": "clips/sec/chip",
@@ -201,6 +208,98 @@ def bench_train(seq_len=6144, clip=(8, 128, 128), token_count=64, iters=10):
         }
         results[name] = line
         print(json.dumps(line), file=sys.stderr, flush=True)
+    return results
+
+
+BASE_LAST_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_BASE_LAST.json")
+
+
+def bench_base_forward(seq_len=4096, clip=(16, 256, 256), token_count=64,
+                       iters=6):
+    """Forward encode+decode at the base_vq.yaml north-star shapes
+    (BASELINE.json configs[2]): base tokenizer (12L, width 768, 12q/4kv
+    heads), patch [4,16,16], 16x256^2 clips, EMA-VQ 16k codebook via the
+    Pallas nearest-neighbor kernel. Scan-chained like build_bench."""
+    import jax
+    import jax.numpy as jnp
+
+    from titok_tpu.data.packing import pack_samples
+    from titok_tpu.models.titok import TiTok
+    from titok_tpu.models.vq import init_vq_state
+
+    patch = (4, 16, 16)
+    rng = np.random.default_rng(0)
+    grid = (clip[0] // patch[0]) * (clip[1] // patch[1]) * (clip[2] // patch[2])
+    per = grid + token_count
+    n = seq_len // per
+    model = TiTok(patch_size=patch, encoder_size="base", decoder_size="base",
+                  dtype=jnp.bfloat16, attn_impl="auto", quantizer="vq",
+                  vq_codebook_size=16384, vq_dim=8, max_seg_len=per)
+    vids = [rng.uniform(-1, 1, size=(3, *clip)).astype(np.float32)
+            for _ in range(n)]
+    batch = pack_samples(vids, [token_count] * n, seq_len=seq_len,
+                         max_samples=max(n, 1), patch_size=patch)
+    arrs = jax.device_put(batch.device_arrays())
+    vq_state = init_vq_state(jax.random.PRNGKey(1), 16384, 8)
+    params = model.init(jax.random.PRNGKey(0), arrs, vq_state)["params"]
+
+    @jax.jit
+    def chained(params, arrs, vq_state):
+        def body(carry, _):
+            a = dict(arrs)
+            a["patches"] = arrs["patches"] + (carry * 1e-30).astype(
+                arrs["patches"].dtype
+            )
+            recon, aux = model.apply({"params": params}, a, vq_state)
+            return recon.astype(jnp.float32).sum(), aux["indices"][0]
+
+        final, idx = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return final, idx[-1]
+
+    _ = np.asarray(chained(params, arrs, vq_state)[0])  # compile + warm
+    t0 = time.perf_counter()
+    _ = np.asarray(chained(params, arrs, vq_state)[0])
+    dt = time.perf_counter() - t0
+    return {
+        "metric": f"clips/sec/chip encode+decode (base_vq cfg, "
+                  f"{clip[0]}x{clip[1]}^2 clips, EMA-VQ 16k, seq {seq_len})",
+        "value": round(n * iters / dt, 3),
+        "unit": "clips/sec/chip",
+        "fwd_ms": round(dt / iters * 1e3, 2),
+    }
+
+
+def bench_base(out=None):
+    """Base-scale bench suite (VERDICT r2 missing #1): converts the
+    untested base-shape surfaces (flash kernel at S=12288, remat, 16k VQ
+    Pallas lookup, scatter-add EMA) into measured numbers. Gated behind
+    TITOK_BENCH_BASE=1: the base GAN step is a compile-heavy remote
+    program and heavy compiles can wedge the relay for 30-60 min
+    (CLAUDE.md), so the driver's default bench run stays tiny-only."""
+    import sys
+
+    results = {}
+    results["base_forward"] = bench_base_forward()
+    print(json.dumps(results["base_forward"]), file=sys.stderr, flush=True)
+    json.dump(results, open(BASE_LAST_PATH, "w"))
+    # base at the base_3axis per-ring budget (12288), remat on: 16x160^2
+    # clips, 1664 slots each -> 7 clips/step
+    for variant in ("L1", "L1+GAN"):
+        try:
+            r = bench_train(seq_len=12288, clip=(16, 160, 160), iters=3,
+                            model_size="base", remat=True, variants=(variant,),
+                            tag="base cfg remat")
+            results.update({f"base_{k}": v for k, v in r.items()})
+        except Exception as e:  # e.g. HBM OOM: record, keep the suite going
+            msg = str(e).splitlines()[:3]
+            results[f"base_{variant}"] = {
+                "metric": f"train-step {variant} (base cfg remat)",
+                "value": 0.0, "error": " ".join(msg)[:500],
+            }
+            print(json.dumps(results[f"base_{variant}"]), file=sys.stderr,
+                  flush=True)
+        json.dump(results, open(BASE_LAST_PATH, "w"))
     return results
 
 
@@ -268,6 +367,9 @@ def bench_host_pipeline(seconds=6.0, clip_hw=192, clip_frames=64):
 def main():
     import jax
 
+    from titok_tpu.train_utils.compile_cache import setup_compilation_cache
+
+    setup_compilation_cache()  # warm restarts skip remote recompiles
     timer = _watchdog()
     iters = 20
     fn, params, arrs, clips_per_batch = build_bench(iters=iters)
@@ -328,6 +430,29 @@ def main():
         try:
             results = bench_train()
             json.dump(results, open(TRAIN_LAST_PATH, "w"))
+        finally:
+            t.cancel()
+
+    # base-scale suite (opt-in: heavy remote compiles, see bench_base)
+    if os.environ.get("TITOK_BENCH_BASE", "0") == "1":
+        import sys
+        import threading
+
+        def base_fallback():
+            note = {"metric": "base-scale bench", "value": 0.0,
+                    "note": "TPU relay unreachable during base bench"}
+            if os.path.exists(BASE_LAST_PATH):
+                note = json.load(open(BASE_LAST_PATH))
+                note["note"] = ("relay unreachable; last recorded base "
+                                "measurements")
+            print(json.dumps(note), file=sys.stderr, flush=True)
+            os._exit(0)
+
+        t = threading.Timer(WATCHDOG_S * 4, base_fallback)
+        t.daemon = True
+        t.start()
+        try:
+            bench_base()
         finally:
             t.cancel()
 

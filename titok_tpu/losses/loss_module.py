@@ -106,6 +106,11 @@ class LossSystem:
             cp_axis=cp_axis,
             tp_mesh=tp_mesh,
             tp_axis=tp_axis,
+            # the stacked disc pass dominates HBM at base scale (its packed
+            # axis is n_forwards x seq): honor training.main.remat here too
+            # (base @ S=12288 OOM'd 17.1G/15.75G with only the tokenizer
+            # remat'd — the top 20 allocations were all disc activations)
+            remat=bool(config.training.main.get("remat", False)),
         )
 
     # -- discriminator plumbing -------------------------------------------
