@@ -146,6 +146,49 @@ def main():
                                       exp_idx[s.index[0]])
     print(f"MULTIHOST_CP_OK pid={pid}", flush=True)
 
+    # ---- CLI leg: the PRODUCTION surface (train.py + multihost config
+    # keys) end-to-end: fit on a 2-process global mesh, checkpoint, then
+    # resume (VERDICT r2 missing #4 — the mechanism existed, the CLI
+    # couldn't launch it) --------------------------------------------------
+    import json
+
+    tmp = sys.argv[3]
+    cfg2 = tiny_config()
+    save_path = os.path.join(tmp, "ckpt")
+    cfg2.set_dotted("dataset.train_dataset", "synthetic")
+    cfg2.set_dotted("dataset.eval_dataset", "synthetic")
+    cfg2.set_dotted("general.checkpoints.save_path", save_path)
+    cfg2.set_dotted("general.checkpoints.save_interval", 2)
+    cfg2.set_dotted("training.main.max_steps", 3)
+    cfg2.set_dotted("training.main.train_devices", 4)
+    cfg2.set_dotted("training.main.multihost", True)
+    cfg2.set_dotted("training.main.coordinator_address", f"localhost:{port}")
+    cfg2.set_dotted("training.main.num_processes", 2)
+    cfg2.set_dotted("training.main.process_id", pid)
+    cfg2.set_dotted("training.eval.eval_step_interval", 2)
+    cfg2.set_dotted("training.eval.eval_samples", 4)
+    cfg2.set_dotted("training.eval.log_recon_num", 0)
+    cfg2.set_dotted("training.eval.log_codebook", False)
+    cfg_path = os.path.join(tmp, f"cfg_{pid}.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(cfg2.to_yaml())
+
+    import train as train_cli
+
+    train_cli.main([f"config={cfg_path}"])
+    if pid == 0:  # primary owns metrics.jsonl; workers share the ckpt dir
+        lines = [json.loads(l)
+                 for l in open(os.path.join(save_path, "metrics.jsonl"))]
+        assert any("train/gen/total_loss" in l for l in lines), lines
+        assert any("eval/psnr" in l for l in lines), lines
+
+    cfg2.set_dotted("training.main.max_steps", 5)
+    cfg2.set_dotted("general.checkpoints.resume_from_checkpoint", True)
+    with open(cfg_path, "w") as f:
+        f.write(cfg2.to_yaml())
+    train_cli.main([f"config={cfg_path}"])
+    print(f"MULTIHOST_CLI_OK pid={pid}", flush=True)
+
 
 if __name__ == "__main__":
     main()

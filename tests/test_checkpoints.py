@@ -74,3 +74,69 @@ def test_disc_on_checkpoint_into_disc_off_state(rng, tmp_path):
     restored = restore_weights_only(str(tmp_path / "ck" / "0"), state_off)
     assert _leaves_equal(restored.gen_params, state_on.gen_params)
     assert restored.disc_params == {}
+
+
+def test_host_snapshot_bounds_wedge_loss(rng, tmp_path):
+    """VERDICT r2 weak #3: a wedged device blocks the SIGTERM preemption
+    save, so resume must fall back to the newest host snapshot — losing at
+    most host_snapshot_interval steps, not save_interval + the wedge."""
+    import time
+
+    batch = pack_samples(synthetic_videos(rng, 2), [2, 3], seq_len=128,
+                         max_samples=8, patch_size=PATCH)
+    cfg = tiny_config()
+    state = _state(cfg, batch, seed=1)
+
+    ckpt = CheckpointManager(str(tmp_path / "ck"), save_interval=1)
+    ckpt.save(2, state)  # periodic checkpoint at step 2
+    ckpt.wait()
+
+    # host snapshot at a later step (already-fetched numpy state: cannot
+    # hang on the device)
+    later = jax.device_get(state.replace(step=state.step + 5))
+    ckpt.save_snapshot(5, later)
+    assert ckpt.latest_snapshot_step() == 5
+
+    restored = ckpt.restore_newest(state)
+    assert int(restored.step) == 5  # snapshot won (5 > 2)
+    assert _leaves_equal(restored.gen_params, state.gen_params)
+
+    # an even newer periodic checkpoint wins again
+    ckpt.save(7, state.replace(step=state.step + 7))
+    ckpt.wait()
+    assert int(ckpt.restore_newest(state).step) == 7
+
+    # only the newest snapshot is kept on disk
+    ckpt.save_snapshot(9, jax.device_get(state.replace(step=state.step + 9)))
+    assert ckpt.latest_snapshot_step() == 9
+    import os
+
+    names = [n for n in os.listdir(ckpt.snapshot_dir) if n.isdigit()]
+    assert names == ["9"]
+
+
+def test_preemption_save_is_time_bounded(rng, tmp_path, monkeypatch):
+    """_save_with_fallback must return within its bound when the device
+    save hangs (wedged relay), instead of blocking the handler forever."""
+    import time
+
+    from titok_tpu.training.trainer import Trainer
+
+    batch = pack_samples(synthetic_videos(rng, 2), [2, 3], seq_len=128,
+                         max_samples=8, patch_size=PATCH)
+    cfg = tiny_config(**{
+        "dataset.train_dataset": "synthetic",
+        "dataset.eval_dataset": "synthetic",
+        "general.checkpoints.save_path": str(tmp_path / "run"),
+    })
+    trainer = Trainer(cfg)
+    state = _state(cfg, batch, seed=1)
+
+    def hang(step, st):
+        time.sleep(3600)
+
+    monkeypatch.setattr(trainer.ckpt, "save", hang)
+    t0 = time.time()
+    ok = trainer._save_with_fallback(state, timeout_s=2.0)
+    assert not ok
+    assert time.time() - t0 < 30

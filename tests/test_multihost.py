@@ -22,7 +22,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_dp_step():
+def test_two_process_dp_step(tmp_path):
     port = str(_free_port())
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker pins its own device count
@@ -31,7 +31,7 @@ def test_two_process_dp_step():
 
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), port],
+            [sys.executable, worker, str(pid), port, str(tmp_path)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env,
         )
@@ -39,9 +39,11 @@ def test_two_process_dp_step():
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=840)
+        out, _ = p.communicate(timeout=1500)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
         assert f"MULTIHOST_OK pid={pid}" in out, out[-3000:]
         assert f"MULTIHOST_CP_OK pid={pid}" in out, out[-3000:]
+        assert f"MULTIHOST_CLI_OK pid={pid}" in out, out[-3000:]
+        assert "resumed from step 3" in out, out[-3000:]

@@ -16,6 +16,7 @@ Mirrors reference semantics (``train.py:239-248,265-267,282-286``):
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Any
 
 import jax
@@ -33,6 +34,7 @@ class CheckpointManager:
             enable_async_checkpointing=True,
         )
         self.mgr = ocp.CheckpointManager(self.directory, options=options)
+        self.snapshot_dir = os.path.join(self.directory, "host_snapshot")
 
     def maybe_save(self, step: int, state: Any) -> bool:
         """Save if the interval policy wants this step. Non-blocking."""
@@ -60,6 +62,59 @@ class CheckpointManager:
 
     def close(self):
         self.mgr.close()
+
+    # -- host-side snapshots (bounded wedge-loss window) --------------------
+    # The tunneled TPU relay can wedge with all device calls hanging
+    # (CLAUDE.md): a SIGTERM preemption save then blocks on the device
+    # fetch and the run loses ``save_interval`` + the wedge. A *host*
+    # snapshot is written from an already-fetched numpy state, so it can
+    # neither hang nor be lost with the process — resume takes the newest
+    # of (periodic checkpoint, snapshot).
+
+    def save_snapshot(self, step: int, host_state: Any) -> None:
+        """Synchronously persist an already-on-host state tree; keeps only
+        the newest snapshot. Independent of the async manager (which may be
+        mid-write or hung on a wedged device)."""
+        os.makedirs(self.snapshot_dir, exist_ok=True)
+        path = os.path.join(self.snapshot_dir, str(int(step)))
+        if os.path.exists(path):
+            return
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, host_state)
+        ckptr.wait_until_finished()
+        ckptr.close()
+        for name in os.listdir(self.snapshot_dir):
+            if name.isdigit() and int(name) != int(step):
+                shutil.rmtree(os.path.join(self.snapshot_dir, name),
+                              ignore_errors=True)
+
+    def latest_snapshot_step(self) -> int | None:
+        if not os.path.isdir(self.snapshot_dir):
+            return None
+        steps = [int(n) for n in os.listdir(self.snapshot_dir) if n.isdigit()]
+        return max(steps) if steps else None
+
+    def restore_newest(self, state_template: Any) -> Any:
+        """Resume from whichever is newer: the manager's latest periodic /
+        preemption checkpoint or the latest host snapshot."""
+        ckpt_step = self.latest_step()
+        snap_step = self.latest_snapshot_step()
+        if ckpt_step is None and snap_step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        if snap_step is not None and (ckpt_step is None
+                                      or snap_step > ckpt_step):
+            abstract = jax.tree_util.tree_map(
+                ocp.utils.to_shape_dtype_struct, state_template
+            )
+            ckptr = ocp.StandardCheckpointer()
+            out = ckptr.restore(
+                os.path.join(self.snapshot_dir, str(snap_step)), abstract
+            )
+            ckptr.close()
+            print(f"restored host snapshot at step {snap_step} "
+                  f"(newer than checkpoint {ckpt_step})")
+            return out
+        return self.restore(state_template, ckpt_step)
 
 
 def _merge_by_key(dst: Any, src: Any, prefix: str, report: dict) -> Any:

@@ -36,8 +36,14 @@ def setup_compilation_cache(config=None) -> str | None:
         path = str(raw)
     path = os.path.expanduser(path)
     try:
-        os.makedirs(path, exist_ok=True)
         import jax
+
+        if str(jax.config.jax_platforms or "").startswith("cpu"):
+            # the cache exists for the remote-compile relay; XLA:CPU AOT
+            # reloads are brittle (host machine-feature mismatch errors)
+            # and CPU compiles are cheap — skip it there
+            return None
+        os.makedirs(path, exist_ok=True)
 
         jax.config.update("jax_compilation_cache_dir", path)
         # cache everything: on the relay even small programs compile

@@ -94,7 +94,12 @@ def main(argv: list[str]) -> int:
 
     def have_checkpoint() -> bool:
         try:
-            return any(d.isdigit() for d in os.listdir(save_path))
+            if any(d.isdigit() for d in os.listdir(save_path)):
+                return True
+            # host snapshots count too (written when the device wedges and
+            # the SIGTERM save can't finish; see CheckpointManager)
+            snap = os.path.join(save_path, "host_snapshot")
+            return any(d.isdigit() for d in os.listdir(snap))
         except OSError:
             return False
 

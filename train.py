@@ -36,6 +36,14 @@ def main(argv):
     config = config_from_cli(argv)
     np.random.seed(int(config.training.main.get("seed", 0)))
 
+    if bool(config.training.main.get("multihost", False)):
+        # one train.py per host; must run before any other jax use so the
+        # backend sees the global device topology (reference analog: the
+        # DDP spawning Lightning does at reference train.py:270-274)
+        from titok_tpu.parallel import multihost
+
+        multihost.initialize_from_config(config)
+
     devices = int(config.training.main.get("train_devices", 1))
     cp_devices = int(config.training.main.get("cp_devices", 1))
     tp_devices = int(config.training.main.get("tp_devices", 1))
