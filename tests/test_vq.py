@@ -66,19 +66,68 @@ def test_ema_update_moves_codebook_to_data(rng):
 
 
 def test_dead_code_reinit(rng):
-    vq = EMAVQ(16, 2, decay=0.0, dead_threshold=0.5, impl="reference")
+    """Codes unused for ``dead_steps`` consecutive updates are reseeded
+    from batch latents (age-based detection: scale-free, unlike an EMA
+    count threshold whose trigger time depends on the init count)."""
+    vq = EMAVQ(16, 2, decay=0.0, dead_steps=2, impl="reference")
     state = init_vq_state(jax.random.PRNGKey(0), 16, 2)
     z = jnp.asarray(np.tile([3.0, 3.0], (32, 1)).astype(np.float32))
     _, aux = vq(z, state)
+    # first miss: age 1 < dead_steps, codebook rows survive
+    state1 = vq.ema_update(state, aux["vq_counts"], aux["vq_sums"],
+                           rng=jax.random.PRNGKey(1), batch_z=z)
+    unused = np.asarray(aux["vq_counts"]) == 0
+    assert not np.allclose(np.asarray(state1.codebook)[unused][:, 0], 3.0)
+    assert float(vq.dead_code_fraction(state1)) > 0  # ages >= 1 window
+    # second miss: age 2 == dead_steps, reseeded from the batch (~[3,3])
+    _, aux1 = vq(z, state1)
+    new = vq.ema_update(state1, aux1["vq_counts"], aux1["vq_sums"],
+                        rng=jax.random.PRNGKey(2), batch_z=z)
+    still_unused = np.asarray(aux1["vq_counts"]) == 0
+    dead = unused & still_unused
+    np.testing.assert_allclose(
+        np.asarray(new.codebook)[dead],
+        np.tile([3.0, 3.0], (int(dead.sum()), 1)), atol=1e-5,
+    )
+    assert float(vq.dead_code_fraction(new)) == 0.0  # ages reset
+
+
+def test_dead_code_reinit_respects_mask(rng):
+    """Reseeding must draw from VALID batch latents only: the packed
+    buffer's non-token rows are garbage (batch_w == 0 there)."""
+    vq = EMAVQ(16, 2, decay=0.0, dead_steps=1, impl="reference")
+    state = init_vq_state(jax.random.PRNGKey(0), 16, 2)
+    valid = np.tile([3.0, 3.0], (8, 1)).astype(np.float32)
+    garbage = np.tile([9.0, 9.0], (24, 1)).astype(np.float32)
+    z = jnp.asarray(np.concatenate([valid, garbage]))
+    w = jnp.asarray(np.concatenate([np.ones(8), np.zeros(24)]),
+                    jnp.float32)
+    _, aux = vq(z, state, weights=w)
     new = vq.ema_update(state, aux["vq_counts"], aux["vq_sums"],
-                        rng=jax.random.PRNGKey(1), batch_z=z)
-    # all dead codes were reseeded from the batch (all ~[3,3])
+                        rng=jax.random.PRNGKey(1), batch_z=z, batch_w=w)
     dead_before = np.asarray(aux["vq_counts"]) == 0
     np.testing.assert_allclose(
         np.asarray(new.codebook)[dead_before],
-        np.tile([3.0, 3.0], (dead_before.sum(), 1)), atol=1e-5,
+        np.tile([3.0, 3.0], (int(dead_before.sum()), 1)), atol=1e-5,
     )
-    assert float(vq.dead_code_fraction(new)) == 0.0
+
+
+def test_data_dependent_init_spreads_usage(rng):
+    """init_vq_state_from_latents seeds the codebook on the latent
+    manifold so first-step usage is spread (a scale-mismatched random
+    codebook collapses to perplexity 1 — observed live on base-vq)."""
+    from titok_tpu.models.vq import init_vq_state_from_latents
+
+    z = jnp.asarray(rng.normal(size=(128, 4)).astype(np.float32) * 0.05)
+    w = jnp.ones((128,), jnp.float32)
+    state = init_vq_state_from_latents(jax.random.PRNGKey(0), z, w, 64)
+    vq = EMAVQ(64, 4, impl="reference")
+    _, aux = vq(z, state, weights=w)
+    assert float(aux["perplexity"]) > 16.0
+    # the bad baseline this guards against: unit-scale random codebook
+    bad = init_vq_state(jax.random.PRNGKey(0), 64, 4)
+    _, aux_bad = vq(z, bad, weights=w)
+    assert float(aux["perplexity"]) > float(aux_bad["perplexity"])
 
 
 def test_titok_vq_end_to_end_step(rng):
@@ -108,6 +157,9 @@ def test_titok_vq_end_to_end_step(rng):
     state, metrics, indices = step(state, arrs, None, None)
     assert np.isfinite(float(metrics["gen/total_loss"]))
     assert "gen/commit_loss" in metrics and "gen/vq_perplexity" in metrics
+    # data-dependent codebook init: first-step usage must be spread, not
+    # collapsed onto one code
+    assert float(metrics["gen/vq_perplexity"]) > 4.0
     assert "vq/dead_code_fraction" in metrics
     assert (np.asarray(indices) < 256).all()
     assert not np.allclose(np.asarray(state.vq_state.codebook), cb0)

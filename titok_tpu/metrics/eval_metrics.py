@@ -41,6 +41,8 @@ class EvalMetrics:
                             "jedi_jepa_model", "vit_large"),
                         extractor_path=config.training.eval.get(
                             "jedi_extractor_path", None),
+                        vjepa_params_path=config.training.eval.get(
+                            "jedi_vjepa_params", None),
                     ),
                     "video",
                 )

@@ -77,7 +77,8 @@ class MetricCalculator:
             if "fid" in self.metrics:
                 out["fid"] = calculate_fid(real, fake)
             if "mmd" in self.metrics:
-                out["mmd"] = mmd_poly(real, fake)
+                # reference metrics.py:88: degree-2 poly MMD x100
+                out["mmd"] = mmd_poly(real, fake) * 100.0
             if "is" in self.metrics:
                 out["is"] = inception_score(np.concatenate(self.fake_logits, 0))
         return out

@@ -17,10 +17,12 @@ from typing import Callable, Optional
 import numpy as np
 
 
-def mmd_poly(X: np.ndarray, Y: np.ndarray, degree: int = 3, gamma=None,
-             coef0: float = 1.0) -> float:
-    """Polynomial-kernel MMD² (reference ``jedi.py:161-178``, as in
-    sklearn.metrics.pairwise.polynomial_kernel)."""
+def mmd_poly(X: np.ndarray, Y: np.ndarray, degree: int = 2, gamma=None,
+             coef0: float = 0.0) -> float:
+    """Polynomial-kernel MMD² (reference ``jedi.py:161-178``; kernel math as
+    in sklearn.metrics.pairwise.polynomial_kernel with gamma=None →
+    1/n_features). Defaults match the reference's call sites
+    (``jedi.py:150``, ``metrics.py:88``): degree=2, coef0=0."""
     X = np.asarray(X, np.float64)
     Y = np.asarray(Y, np.float64)
     if gamma is None:
@@ -56,7 +58,8 @@ class TorchscriptVideoExtractor:
 class JEDiMetric:
     def __init__(self, feature_fn: Optional[Callable] = None,
                  model_name: str = "vit_large",
-                 extractor_path: Optional[str] = None):
+                 extractor_path: Optional[str] = None,
+                 vjepa_params_path: Optional[str] = None):
         import os
 
         self.feature_fn = feature_fn
@@ -64,17 +67,31 @@ class JEDiMetric:
         self.extractor_path = extractor_path or os.environ.get(
             "TITOK_JEDI_PATH"
         )
+        self.vjepa_params_path = vjepa_params_path or os.environ.get(
+            "TITOK_VJEPA_PARAMS"
+        )
         self.reset()
 
     def update(self, recon_bcthw: np.ndarray, target_bcthw: np.ndarray) -> None:
+        if self.feature_fn is None and self.vjepa_params_path:
+            # TPU-resident V-JEPA port (titok_tpu/metrics/vjepa.py):
+            # converted jepa encoder + SSv2 attentive-probe pooler
+            from titok_tpu.metrics.vjepa import (JaxVJEPAExtractor,
+                                                 load_vjepa_params)
+
+            self.feature_fn = JaxVJEPAExtractor(
+                load_vjepa_params(self.vjepa_params_path), self.model_name
+            )
         if self.feature_fn is None and self.extractor_path:
             self.feature_fn = TorchscriptVideoExtractor(self.extractor_path)
         if self.feature_fn is None:
             raise RuntimeError(
-                "JEDi needs a V-JEPA feature extractor; pass feature_fn or "
-                "set training.eval.jedi_extractor_path / TITOK_JEDI_PATH to "
-                "a local torchscript (zero-egress: the reference downloads "
-                "jepa weights, jedi.py:24-70)."
+                "JEDi needs a V-JEPA feature extractor; pass feature_fn, "
+                "set training.eval.jedi_vjepa_params / TITOK_VJEPA_PARAMS "
+                "to a converted checkpoint (tools/convert_vjepa.py), or "
+                "set training.eval.jedi_extractor_path / TITOK_JEDI_PATH "
+                "to a local torchscript (zero-egress: the reference "
+                "downloads jepa weights, jedi.py:24-70)."
             )
         self.fake.append(np.asarray(self.feature_fn(recon_bcthw)))
         self.real.append(np.asarray(self.feature_fn(target_bcthw)))

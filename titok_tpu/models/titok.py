@@ -65,6 +65,7 @@ class TiTok(nn.Module):
     vq_dim: int = 8
     vq_commitment_weight: float = 0.25
     vq_decay: float = 0.99
+    vq_dead_steps: int = 256
 
     @property
     def token_size(self) -> int:
@@ -101,6 +102,7 @@ class TiTok(nn.Module):
                 self.vq_codebook_size, self.vq_dim,
                 commitment_weight=self.vq_commitment_weight,
                 decay=self.vq_decay,
+                dead_steps=self.vq_dead_steps,
                 cp_mesh=self.cp_mesh, cp_axis=self.cp_axis,
             )
         self.decoder = PackedDecoder(
@@ -211,6 +213,7 @@ def make_titok(config, cp_mesh=None, cp_axis: str = "seq",
         vq_dim=int(vq.get("dim", 8)),
         vq_commitment_weight=float(vq.get("commitment_weight", 0.25)),
         vq_decay=float(vq.get("decay", 0.99)),
+        vq_dead_steps=int(vq.get("dead_steps", 256)),
         cp_mesh=cp_mesh,
         cp_axis=cp_axis,
         tp_mesh=tp_mesh,

@@ -12,8 +12,11 @@ and exponential-moving-average codebook updates with Laplace smoothing
 
 The EMA state lives in :class:`VQState` inside the TrainState (it is not a
 gradient-trained parameter); :func:`ema_update` is applied once per train
-step after the optimizer. Dead codes (EMA count below ``dead_threshold``)
-are reseeded from random batch latents.
+step after the optimizer. Dead codes (no hit for ``dead_steps``
+consecutive steps) are reseeded from random valid batch latents; the
+codebook itself is initialized from the first batch's latents
+(:func:`init_vq_state_from_latents`) — both guards against the cold-start
+usage collapse observed with a scale-mismatched random codebook.
 
 fp32 throughout (like FSQ — quantization boundaries must not move with
 bf16 noise).
@@ -32,6 +35,7 @@ class VQState(struct.PyTreeNode):
     codebook: jnp.ndarray    # [N, D] f32
     ema_counts: jnp.ndarray  # [N] f32
     ema_sums: jnp.ndarray    # [N, D] f32
+    ages: jnp.ndarray        # [N] f32, consecutive steps without a hit
 
     @property
     def codebook_size(self) -> int:
@@ -44,6 +48,41 @@ def init_vq_state(rng, codebook_size: int, dim: int, scale: float = 1.0) -> VQSt
         codebook=cb,
         ema_counts=jnp.ones((codebook_size,), jnp.float32),
         ema_sums=cb.copy(),
+        ages=jnp.zeros((codebook_size,), jnp.float32),
+    )
+
+
+def init_vq_state_from_latents(rng, z: jnp.ndarray, weights: jnp.ndarray,
+                               codebook_size: int,
+                               jitter: float = 0.05) -> VQState:
+    """Data-dependent codebook init: rows sampled (with replacement) from
+    the first batch's *valid* encoder latents, plus per-dim relative
+    jitter so duplicated picks separate.
+
+    A scale-mismatched random codebook collapses EMA-VQ at cold start:
+    every latent maps to the single nearest code, the commitment loss
+    glues the encoder to it within ~25 steps, and dead-code revival
+    (which can only fire once EMA counts decay below threshold, ~700
+    steps at decay 0.99) then reseeds from already-collapsed latents —
+    observed live on the base-vq run. Seeding from the latent
+    distribution makes usage spread from step 0.
+    """
+    zf = jax.lax.stop_gradient(jnp.asarray(z, jnp.float32))
+    w = jnp.asarray(weights, jnp.float32)
+    p = w / jnp.maximum(w.sum(), 1.0)
+    k_pick, k_noise = jax.random.split(rng)
+    pick = jax.random.choice(k_pick, zf.shape[0], (codebook_size,), p=p)
+    cb = zf[pick]
+    mean = (zf * p[:, None]).sum(0)
+    std = jnp.sqrt(jnp.maximum(
+        ((zf - mean) ** 2 * p[:, None]).sum(0), 1e-12))
+    cb = cb + jitter * std * jax.random.normal(k_noise, cb.shape,
+                                               jnp.float32)
+    return VQState(
+        codebook=cb,
+        ema_counts=jnp.ones((codebook_size,), jnp.float32),
+        ema_sums=cb.copy(),
+        ages=jnp.zeros((codebook_size,), jnp.float32),
     )
 
 
@@ -52,14 +91,14 @@ class EMAVQ:
 
     def __init__(self, codebook_size: int, dim: int,
                  commitment_weight: float = 0.25, decay: float = 0.99,
-                 eps: float = 1e-5, dead_threshold: float = 1e-3,
+                 eps: float = 1e-5, dead_steps: int = 256,
                  impl: str = "auto", cp_mesh=None, cp_axis: str = "seq"):
         self.codebook_size = int(codebook_size)
         self.codebook_dim = int(dim)
         self.commitment_weight = float(commitment_weight)
         self.decay = float(decay)
         self.eps = float(eps)
-        self.dead_threshold = float(dead_threshold)
+        self.dead_steps = int(dead_steps)
         self.impl = impl
         # context parallelism: run the lookup per seq shard inside
         # shard_map (titok_tpu/ops/vq_distance.vq_nearest_cp) — rows are
@@ -128,32 +167,58 @@ class EMAVQ:
     # -- EMA codebook update (called once per step, post-optimizer) --------
     def ema_update(self, state: VQState, counts: jnp.ndarray,
                    sums: jnp.ndarray, rng: jnp.ndarray | None = None,
-                   batch_z: jnp.ndarray | None = None) -> VQState:
+                   batch_z: jnp.ndarray | None = None,
+                   batch_w: jnp.ndarray | None = None) -> VQState:
         d = self.decay
         new_counts = d * state.ema_counts + (1 - d) * counts
         new_sums = d * state.ema_sums + (1 - d) * sums
+        ages = jnp.where(counts > 0, 0.0, state.ages + 1.0)
 
         n = new_counts.sum()
         smoothed = (new_counts + self.eps) / (n + self.codebook_size * self.eps) * n
         codebook = new_sums / smoothed[:, None]
 
         if rng is not None and batch_z is not None:
-            # dead-code reinit: reseed starved codes from random batch latents
-            dead = new_counts < self.dead_threshold
-            pick = jax.random.randint(
-                rng, (self.codebook_size,), 0, batch_z.shape[0]
-            )
+            # dead-code reinit: a code unused for ``dead_steps``
+            # consecutive steps is reseeded from a random batch latent.
+            # Age-based (not EMA-count-threshold) detection is scale-free:
+            # a count threshold is poisoned by the init value — counts
+            # start at 1.0 and take ~log(thr)/log(decay) ≈ 690 steps to
+            # decay below 1e-3, far too slow to catch the cold-start
+            # collapse observed live on the base-vq run. ``batch_w`` (e.g.
+            # token_mask) restricts the reseed pool to valid slots — the
+            # packed buffer's non-token rows are garbage.
+            dead = ages >= self.dead_steps
+            if batch_w is not None:
+                wz = batch_w.astype(jnp.float32)
+                pick = jax.random.choice(
+                    rng, batch_z.shape[0], (self.codebook_size,),
+                    p=wz / jnp.maximum(wz.sum(), 1.0),
+                )
+            else:
+                pick = jax.random.randint(
+                    rng, (self.codebook_size,), 0, batch_z.shape[0]
+                )
             repl = jax.lax.stop_gradient(batch_z.astype(jnp.float32))[pick]
+            # revived codes get the fair-share EMA count (NOT 1.0: the
+            # equilibrium per-code count is tokens_per_step/N ≪ 1, and an
+            # outsized count would skew the codebook average for hundreds
+            # of steps)
+            fair = jnp.maximum(new_counts.mean(), self.eps)
             codebook = jnp.where(dead[:, None], repl, codebook)
-            new_sums = jnp.where(dead[:, None], repl, new_sums)
-            new_counts = jnp.where(dead, jnp.ones_like(new_counts), new_counts)
+            new_sums = jnp.where(dead[:, None], repl * fair, new_sums)
+            new_counts = jnp.where(dead, fair, new_counts)
+            ages = jnp.where(dead, 0.0, ages)
 
         return VQState(codebook=codebook, ema_counts=new_counts,
-                       ema_sums=new_sums)
+                       ema_sums=new_sums, ages=ages)
 
     # -- codec (FSQ-interface parity) --------------------------------------
     def indices_to_codes(self, indices: jnp.ndarray, state: VQState) -> jnp.ndarray:
         return state.codebook[indices]
 
     def dead_code_fraction(self, state: VQState) -> jnp.ndarray:
-        return (state.ema_counts < self.dead_threshold).mean()
+        """Leading indicator: fraction of codes unused for at least half
+        the revival window (fully dead codes are reseeded inside
+        ``ema_update``, so post-update they are always 0)."""
+        return (state.ages >= max(self.dead_steps // 2, 1)).mean()

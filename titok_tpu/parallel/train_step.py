@@ -58,6 +58,7 @@ class DPTrainStepBuilder(TrainStepBuilder):
                 model.vq_codebook_size, model.vq_dim,
                 commitment_weight=model.vq_commitment_weight,
                 decay=model.vq_decay,
+                dead_steps=model.vq_dead_steps,
             )
 
         def per_dev_gen_loss(gen_params, disc_params, batch, disc, perc,
@@ -117,8 +118,10 @@ class DPTrainStepBuilder(TrainStepBuilder):
                 counts = aux["vq_counts"].sum(0)
                 sums = aux["vq_sums"].sum(0)
                 batch_z = aux["z"].reshape(-1, aux["z"].shape[-1])
+                batch_w = batch["token_mask"].reshape(-1)
                 vq_state = vq_codec.ema_update(
-                    state.vq_state, counts, sums, rng=vq_key, batch_z=batch_z
+                    state.vq_state, counts, sums, rng=vq_key,
+                    batch_z=batch_z, batch_w=batch_w,
                 )
                 metrics["vq/dead_code_fraction"] = vq_codec.dead_code_fraction(
                     vq_state

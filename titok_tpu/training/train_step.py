@@ -91,6 +91,20 @@ class TrainStepBuilder:
                 k_vq, self.model.vq_codebook_size, self.model.vq_dim
             )
         gen_params = self.model.init(k_gen, batch, vq_state or None)["params"]
+        if not isinstance(vq_state, tuple):
+            # data-dependent codebook init from the sample batch's valid
+            # encoder latents (see init_vq_state_from_latents: a random
+            # codebook cold-start collapses usage to one code)
+            from titok_tpu.models.vq import init_vq_state_from_latents
+
+            _, aux = self.model.apply(
+                {"params": gen_params}, batch, vq_state,
+                method="encode_packed",
+            )
+            vq_state = init_vq_state_from_latents(
+                k_vq, aux["z"], batch["token_mask"],
+                self.model.vq_codebook_size,
+            )
         if self.loss_system.use_disc:
             disc_params = self.loss_system.init_disc_params(k_disc, batch, disc)
             disc_opt = self.disc_tx.init(disc_params)
@@ -126,6 +140,7 @@ class TrainStepBuilder:
                 model.vq_codebook_size, model.vq_dim,
                 commitment_weight=model.vq_commitment_weight,
                 decay=model.vq_decay,
+                dead_steps=model.vq_dead_steps,
             )
 
         # per-parameter L2 grad norms (ref logs lightning grad_norm every
@@ -185,6 +200,7 @@ class TrainStepBuilder:
                 vq_state = vq_codec.ema_update(
                     state.vq_state, aux["vq_counts"], aux["vq_sums"],
                     rng=vq_key, batch_z=aux["z"],
+                    batch_w=batch["token_mask"],
                 )
                 metrics["vq/dead_code_fraction"] = vq_codec.dead_code_fraction(
                     vq_state

@@ -166,6 +166,10 @@ def main():
     ap.add_argument("--fps", type=float, default=8.0)
     ap.add_argument("--csv", default=None,
                     help="also write a CSV manifest at this path")
+    ap.add_argument("--offset", type=int, default=0,
+                    help="start clip numbering here (top up an interrupted "
+                         "generation without redoing existing clips; use a "
+                         "fresh --seed for the topped-up range)")
     args = ap.parse_args()
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -176,7 +180,7 @@ def main():
         h = int(rng.integers(args.min_size, args.max_size + 1))
         w = int(rng.integers(args.min_size, args.max_size + 1))
         clip = synth_clip(rng, t, h, w)
-        p = os.path.join(args.out_dir, f"clip_{i:05d}.mp4")
+        p = os.path.join(args.out_dir, f"clip_{args.offset + i:05d}.mp4")
         encode_video(p, clip, fps=args.fps, codec="mpeg4")
         paths.append(p)
         if (i + 1) % 20 == 0:
