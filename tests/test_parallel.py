@@ -200,6 +200,16 @@ def test_dp_vq_family(rng):
     dp = DPTrainStepBuilder(model, ls, cfg)
     state = dp.init_state(jax.random.PRNGKey(0), stacked, None)
     assert state.vq_state != ()
+    # run the equivalence check from a well-SEPARATED random codebook:
+    # the data-dependent init seeds rows inside the latent cloud, where
+    # bf16 reassociation between the vmapped and plain encoder forwards
+    # flips near-tie nearest-neighbor assignments (observed: 14/16384) —
+    # the property under test (device-summed stats == manual sum) is
+    # independent of the init
+    from titok_tpu.models.vq import init_vq_state
+
+    state = state.replace(vq_state=init_vq_state(
+        jax.random.PRNGKey(5), model.vq_codebook_size, model.vq_dim))
     dp_step = jax.jit(dp.make_train_step({}), donate_argnums=())
     new_state, metrics, idx = dp_step(
         state, shard_batch_tree(stacked, mesh), None, None

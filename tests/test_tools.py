@@ -160,7 +160,11 @@ def test_compilation_cache_writes_entries(tmp_path, monkeypatch):
     cache_dir = str(tmp_path / "xla_cache")
     cfg = tiny_config()
     cfg.set_dotted("training.main.compilation_cache_dir", cache_dir)
-    assert setup_compilation_cache(cfg) == cache_dir
+    # on a CPU backend the cache is gated off (XLA:CPU AOT reloads are
+    # brittle; it exists for the remote-compile relay) ...
+    assert setup_compilation_cache(cfg) is None
+    # ... and force=True (tests) bypasses the gate
+    assert setup_compilation_cache(cfg, force=True) == cache_dir
 
     @jax.jit
     def f(x):

@@ -130,6 +130,37 @@ def test_data_dependent_init_spreads_usage(rng):
     assert float(aux["perplexity"]) > float(aux_bad["perplexity"])
 
 
+def test_entropy_loss_prefers_spread_usage(rng):
+    """MAGVIT-style entropy regularizer: latents spread across the
+    codebook score lower (sharpness ~0, diversity ~log K) than latents
+    collapsed onto one code (both terms ~0); gradients flow to z."""
+    cb = jnp.asarray(rng.normal(size=(32, 4)).astype(np.float32))
+    vq = EMAVQ(32, 4, entropy_weight=1.0, entropy_tau=0.2,
+               impl="reference")
+    w = jnp.ones((64,), jnp.float32)
+    spread = cb[jnp.asarray(rng.integers(0, 32, size=64))]
+    collapsed = jnp.tile(cb[3][None], (64, 1))
+    l_spread = float(vq._entropy_loss(spread, cb, w))
+    l_collapsed = float(vq._entropy_loss(collapsed, cb, w))
+    assert l_spread < l_collapsed - 1.0  # ~ -log(32) vs ~ 0
+    g = jax.grad(lambda z: vq._entropy_loss(z, cb, w))(collapsed + 0.01)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+    # padding path: S not a multiple of the 512 chunk, zero-weight rows
+    z_odd = jnp.asarray(rng.normal(size=(700, 4)).astype(np.float32))
+    w_odd = jnp.asarray((rng.uniform(size=700) > 0.3).astype(np.float32))
+    assert np.isfinite(float(vq._entropy_loss(z_odd, cb, w_odd)))
+
+    # aux carries the weighted term only when enabled
+    state = init_vq_state(jax.random.PRNGKey(0), 32, 4)
+    _, aux = vq(z_odd, state, weights=w_odd)
+    assert "entropy_loss" in aux and np.isfinite(float(aux["entropy_loss"]))
+    _, aux_off = EMAVQ(32, 4, impl="reference")(z_odd, state,
+                                                weights=w_odd)
+    assert "entropy_loss" not in aux_off
+
+
 def test_titok_vq_end_to_end_step(rng):
     """Full train step with the VQ family: runs, finite, EMA state moves."""
     from titok_tpu.data.packing import pack_samples
@@ -139,7 +170,8 @@ def test_titok_vq_end_to_end_step(rng):
 
     cfg = tiny_config(**{
         "tokenizer.model.quantizer": "vq",
-        "tokenizer.model.vq": {"codebook_size": 256, "dim": 4},
+        "tokenizer.model.vq": {"codebook_size": 256, "dim": 4,
+                               "entropy_weight": 0.1},
     })
     model = make_titok(cfg)
     assert model.token_size == 4 and model.codebook_size == 256
@@ -157,6 +189,7 @@ def test_titok_vq_end_to_end_step(rng):
     state, metrics, indices = step(state, arrs, None, None)
     assert np.isfinite(float(metrics["gen/total_loss"]))
     assert "gen/commit_loss" in metrics and "gen/vq_perplexity" in metrics
+    assert np.isfinite(float(metrics["gen/vq_entropy_loss"]))
     # data-dependent codebook init: first-step usage must be spread, not
     # collapsed onto one code
     assert float(metrics["gen/vq_perplexity"]) > 4.0

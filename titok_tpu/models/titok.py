@@ -66,6 +66,8 @@ class TiTok(nn.Module):
     vq_commitment_weight: float = 0.25
     vq_decay: float = 0.99
     vq_dead_steps: int = 256
+    vq_entropy_weight: float = 0.0
+    vq_entropy_tau: float = 0.2
 
     @property
     def token_size(self) -> int:
@@ -103,6 +105,8 @@ class TiTok(nn.Module):
                 commitment_weight=self.vq_commitment_weight,
                 decay=self.vq_decay,
                 dead_steps=self.vq_dead_steps,
+                entropy_weight=self.vq_entropy_weight,
+                entropy_tau=self.vq_entropy_tau,
                 cp_mesh=self.cp_mesh, cp_axis=self.cp_axis,
             )
         self.decoder = PackedDecoder(
@@ -214,6 +218,8 @@ def make_titok(config, cp_mesh=None, cp_axis: str = "seq",
         vq_commitment_weight=float(vq.get("commitment_weight", 0.25)),
         vq_decay=float(vq.get("decay", 0.99)),
         vq_dead_steps=int(vq.get("dead_steps", 256)),
+        vq_entropy_weight=float(vq.get("entropy_weight", 0.0)),
+        vq_entropy_tau=float(vq.get("entropy_tau", 0.2)),
         cp_mesh=cp_mesh,
         cp_axis=cp_axis,
         tp_mesh=tp_mesh,

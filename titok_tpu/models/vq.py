@@ -92,6 +92,7 @@ class EMAVQ:
     def __init__(self, codebook_size: int, dim: int,
                  commitment_weight: float = 0.25, decay: float = 0.99,
                  eps: float = 1e-5, dead_steps: int = 256,
+                 entropy_weight: float = 0.0, entropy_tau: float = 0.2,
                  impl: str = "auto", cp_mesh=None, cp_axis: str = "seq"):
         self.codebook_size = int(codebook_size)
         self.codebook_dim = int(dim)
@@ -99,6 +100,8 @@ class EMAVQ:
         self.decay = float(decay)
         self.eps = float(eps)
         self.dead_steps = int(dead_steps)
+        self.entropy_weight = float(entropy_weight)
+        self.entropy_tau = float(entropy_tau)
         self.impl = impl
         # context parallelism: run the lookup per seq shard inside
         # shard_map (titok_tpu/ops/vq_distance.vq_nearest_cp) — rows are
@@ -162,7 +165,61 @@ class EMAVQ:
             "vq_sums": sums,
             "perplexity": jnp.exp(entropy),
         }
+        if self.entropy_weight > 0:
+            aux["entropy_loss"] = (
+                self.entropy_weight * self._entropy_loss(zf, cb, w)
+            )
         return codes.astype(orig_dtype), aux
+
+    def _entropy_loss(self, zf: jnp.ndarray, cb: jnp.ndarray,
+                      w: jnp.ndarray) -> jnp.ndarray:
+        """Soft-assignment entropy regularizer (the MAGVIT-v2 recipe,
+        arXiv 2310.05737 §3.1, adapted to EMA-VQ): minimize per-token
+        assignment entropy (each token commits to one code) while
+        maximizing the entropy of the mean assignment (usage spreads over
+        the codebook). The codebook is stop-gradient EMA, so the gradient
+        shapes the ENCODER's latent distribution — the part that actually
+        collapses (observed live: perplexity pinned at ~6 of 16384 while
+        recon trains).
+
+        ``entropy_tau`` is RELATIVE: logits are ``-d² / (tau * s)`` with
+        ``s = sg(mean ||z||² + mean ||c||²)``, a scale proxy for typical
+        squared distances. An absolute temperature either saturates the
+        softmax to an exact one-hot (gradient underflows to zero — seen
+        in tests) or washes it out, depending on the latent scale, which
+        EMA-VQ does not control.
+
+        Distances are computed in row chunks via ``lax.map`` so the
+        [S, N] probability matrix (400 MB at S=6144, N=16k) never
+        materializes; peak is [chunk, N].
+        """
+        S = zf.shape[0]
+        chunk = min(512, S)
+        pad = (-S) % chunk
+        if pad:
+            zf = jnp.concatenate(
+                [zf, jnp.zeros((pad, zf.shape[1]), zf.dtype)])
+            w = jnp.concatenate([w, jnp.zeros((pad,), w.dtype)])
+        zc = zf.reshape(-1, chunk, zf.shape[1])
+        wc = w.reshape(-1, chunk)
+        cb2 = (cb ** 2).sum(-1)
+        scale = self.entropy_tau * jax.lax.stop_gradient(
+            (zf ** 2).sum(-1).mean() + cb2.mean()) + 1e-12
+
+        def per_chunk(args):
+            z_, w_ = args
+            d2 = ((z_ ** 2).sum(-1, keepdims=True)
+                  - 2.0 * z_ @ cb.T + cb2[None])
+            p = jax.nn.softmax(-d2 / scale, axis=-1)
+            h_tok = -(p * jnp.log(p + 1e-30)).sum(-1)  # [chunk]
+            return (h_tok * w_).sum(), (p * w_[:, None]).sum(0)
+
+        h_sums, p_sums = jax.lax.map(per_chunk, (zc, wc))
+        wsum = jnp.maximum(w.sum(), 1.0)
+        sharpness = h_sums.sum() / wsum
+        mean_p = p_sums.sum(0) / wsum
+        diversity = -(mean_p * jnp.log(mean_p + 1e-30)).sum()
+        return sharpness - diversity
 
     # -- EMA codebook update (called once per step, post-optimizer) --------
     def ema_update(self, state: VQState, counts: jnp.ndarray,

@@ -73,6 +73,9 @@ class DPTrainStepBuilder(TrainStepBuilder):
                 loss = loss + aux["commit_loss"]
                 loss_dict["gen/commit_loss"] = aux["commit_loss"]
                 loss_dict["gen/vq_perplexity"] = aux["perplexity"]
+            if "entropy_loss" in aux:  # EMA-VQ entropy regularizer
+                loss = loss + aux["entropy_loss"]
+                loss_dict["gen/vq_entropy_loss"] = aux["entropy_loss"]
             return loss, (recon, aux, loss_dict)
 
         def gen_loss_fn(gen_params, disc_params, batch, disc, perc, vq_state):

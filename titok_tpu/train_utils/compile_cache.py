@@ -19,12 +19,16 @@ import os
 DEFAULT_CACHE_DIR = "~/.cache/titok_tpu/xla_cache"
 
 
-def setup_compilation_cache(config=None) -> str | None:
+def setup_compilation_cache(config=None, force: bool = False) -> str | None:
     """Enable JAX's persistent compilation cache.
 
     Config key ``training.main.compilation_cache_dir``: unset -> default
     path; explicit empty string / ``false`` -> disabled. Safe to call
     multiple times. Returns the cache dir in use (or None if disabled).
+
+    On CPU backends the cache is skipped unless ``force`` (tests): XLA:CPU
+    AOT *reloads* are brittle across host-feature fingerprints and CPU
+    compiles are cheap — the cache exists for the remote-compile relay.
     """
     path = DEFAULT_CACHE_DIR
     if config is not None:
@@ -38,7 +42,8 @@ def setup_compilation_cache(config=None) -> str | None:
     try:
         import jax
 
-        if str(jax.config.jax_platforms or "").startswith("cpu"):
+        if (not force
+                and str(jax.config.jax_platforms or "").startswith("cpu")):
             # the cache exists for the remote-compile relay; XLA:CPU AOT
             # reloads are brittle (host machine-feature mismatch errors)
             # and CPU compiles are cheap — skip it there

@@ -79,10 +79,15 @@ def _load_model(config_path: str, ckpt: str | None, token_count: int):
                     f"checkpoint {path} has no vq_state but the config "
                     "selects quantizer: vq"
                 )
+            cb = np.asarray(vqs["codebook"], np.float32)
             model.vq_state = VQState(
-                codebook=np.asarray(vqs["codebook"], np.float32),
+                codebook=cb,
                 ema_counts=np.asarray(vqs["ema_counts"], np.float32),
                 ema_sums=np.asarray(vqs["ema_sums"], np.float32),
+                # pre-age-tracking checkpoints lack ages; inference never
+                # reads them
+                ages=np.asarray(
+                    vqs.get("ages", np.zeros(cb.shape[0])), np.float32),
             )
     return cfg, model
 
