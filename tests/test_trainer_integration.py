@@ -58,6 +58,9 @@ def test_fit_and_resume(csv_file, tmp_path):
                                "metrics.jsonl"))]
     assert any("train/gen/total_loss" in l for l in lines)
     assert any("eval/psnr" in l for l in lines)
+    # final eval at max_steps (runs end with metrics AT the last step, not
+    # eval_step_interval short of it)
+    assert any("eval/psnr" in l and l["step"] == 4 for l in lines)
     # recon video written
     vids = os.listdir(os.path.join(cfg.general.checkpoints.save_path, "videos"))
     assert vids

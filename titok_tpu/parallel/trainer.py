@@ -209,6 +209,7 @@ class DataParallelTrainer(Trainer):
 
         t_last = time.time()
         tokens_since = 0
+        last_eval = -1
         step_num = int(state.step)  # host-tracked; avoids a device sync/step
         for s_dev, sg, dev_extras in loader:
             if step_num >= max_steps:
@@ -236,12 +237,17 @@ class DataParallelTrainer(Trainer):
 
             if eval_every and step_num > 0 and step_num % eval_every == 0:
                 self.validate_dp(state, step_num)
+                last_eval = step_num
 
             self.ckpt.maybe_save(step_num, state)
             if self.n_procs == 1:  # snapshot needs a fully-addressable state
                 self._maybe_host_snapshot(state, step_num)
             step_num += 1
 
+        # final eval at max_steps (the in-loop trigger can't fire for the
+        # step the loop exits on — see training/trainer.py:fit)
+        if eval_every and step_num > 0 and step_num != last_eval:
+            self.validate_dp(state, step_num)
         self.ckpt.save(int(state.step), state)
         self.ckpt.wait()
         return state

@@ -251,6 +251,7 @@ class Trainer:
 
         t_last = time.time()
         tokens_since = 0
+        last_eval = -1
         step_num = int(state.step)  # host-tracked; avoids a device sync/step
         for dev_batch, batch, dev_extras in loader:
             if step_num >= max_steps:
@@ -284,11 +285,17 @@ class Trainer:
 
             if eval_every and step_num > 0 and step_num % eval_every == 0:
                 self.validate(state, step_num)
+                last_eval = step_num
 
             self.ckpt.maybe_save(step_num, state)
             self._maybe_host_snapshot(state, step_num)
             step_num += 1
 
+        # final eval: the loop exits at max_steps BEFORE the in-loop eval
+        # trigger fires for that step, so a 10k-step run with eval_every
+        # 1000 otherwise ends with its last metrics at 9000
+        if eval_every and step_num > 0 and step_num != last_eval:
+            self.validate(state, step_num)
         self.ckpt.save(int(state.step), state)
         self.ckpt.wait()
         return state
