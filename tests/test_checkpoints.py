@@ -140,3 +140,35 @@ def test_preemption_save_is_time_bounded(rng, tmp_path, monkeypatch):
     ok = trainer._save_with_fallback(state, timeout_s=2.0)
     assert not ok
     assert time.time() - t0 < 30
+
+
+def test_vq_codebook_travels_with_init_from_checkpoint(rng, tmp_path):
+    """EMA-VQ family: init_from_checkpoint must carry the trained codebook
+    with the encoder weights — loading one without the other glues the
+    encoder to a random codebook."""
+    batch = pack_samples(synthetic_videos(rng, 2), [2, 3], seq_len=128,
+                         max_samples=8, patch_size=PATCH)
+    vq_over = {
+        "tokenizer.model.quantizer": "vq",
+        "tokenizer.model.vq": {"codebook_size": 64, "dim": 4},
+    }
+    cfg_a = tiny_config(**vq_over)
+    state_a = _state(cfg_a, batch, seed=1)
+    # distinctive trained-looking codebook
+    cb = np.arange(64 * 4, dtype=np.float32).reshape(64, 4)
+    state_a = state_a.replace(vq_state=state_a.vq_state.replace(codebook=cb))
+
+    ckpt = CheckpointManager(str(tmp_path / "ck"), save_interval=1)
+    ckpt.save(0, state_a)
+    ckpt.wait()
+
+    state_b = _state(tiny_config(**vq_over), batch, seed=2)
+    assert not np.array_equal(np.asarray(state_b.vq_state.codebook), cb)
+    restored = restore_weights_only(str(tmp_path / "ck" / "0"), state_b)
+    assert np.array_equal(np.asarray(restored.vq_state.codebook), cb)
+    assert _leaves_equal(restored.gen_params, state_a.gen_params)
+
+    # FSQ-family state ignores a checkpoint's vq payload
+    state_fsq = _state(tiny_config(), batch, seed=3)
+    restored_fsq = restore_weights_only(str(tmp_path / "ck" / "0"), state_fsq)
+    assert isinstance(restored_fsq.vq_state, tuple)

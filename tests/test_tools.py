@@ -238,3 +238,50 @@ def test_tokenize_cli_vq_roundtrip(tmp_path, video_dir):
     assert r.returncode == 0, r.stderr[-3000:]
     assert any(f.endswith("_recon.mp4")
                for f in os.listdir(tmp_path / "rec"))
+
+
+def test_evaluate_cli(tmp_path, video_dir):
+    """Standalone checkpoint eval (tools/evaluate.py): train 2 steps, then
+    score the saved checkpoint offline — eval metrics land in
+    <out>/eval/metrics.jsonl tagged with the checkpoint step."""
+    from tests.util import tiny_config
+
+    cfg = tiny_config()
+    cfg.set_dotted("dataset.train_dataset", "synthetic")
+    cfg.set_dotted("dataset.eval_dataset", "synthetic")
+    cfg.set_dotted("general.checkpoints.save_path", str(tmp_path / "out"))
+    cfg.set_dotted("general.checkpoints.save_interval", 2)
+    cfg.set_dotted("training.sampling.min_grid", [2, 8, 8])
+    cfg.set_dotted("training.sampling.max_grid", [4, 16, 16])
+    cfg.set_dotted("training.sampling.train_seq_len", 128)
+    cfg.set_dotted("training.sampling.eval_seq_len", 128)
+    cfg.set_dotted("training.eval.eval_step_interval", 0)
+    cfg.set_dotted("training.eval.eval_samples", 3)
+    cfg.set_dotted("training.eval.log_recon_num", 1)
+    cfg.set_dotted("training.main.max_steps", 2)
+    cfgpath = str(tmp_path / "cfg.yaml")
+    with open(cfgpath, "w") as f:
+        f.write(cfg.to_yaml())
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH", ""))
+    r = subprocess.run(
+        [sys.executable, "train.py", f"config={cfgpath}"],
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=480,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.isdir(tmp_path / "out" / "2")
+
+    r = subprocess.run(
+        [sys.executable, "tools/evaluate.py", f"config={cfgpath}",
+         "--ckpt", str(tmp_path / "out"), "--steps", "all"],
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=480,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    import json
+
+    lines = [json.loads(l) for l in
+             open(tmp_path / "out" / "eval" / "metrics.jsonl")]
+    assert any("eval/psnr" in l and l["step"] == 2 for l in lines)
+    # recon video written by the offline eval too
+    assert os.listdir(tmp_path / "out" / "eval" / "videos")

@@ -170,10 +170,33 @@ def restore_weights_only(path: str, state: Any, verbose: bool = True) -> Any:
     disc_params = _merge_by_key(
         state.disc_params, raw.get("disc_params", {}), "disc", report
     )
+    # EMA-VQ family: the trained codebook is paired with the encoder
+    # weights — initializing one without the other glues the encoder to a
+    # random codebook (reference analog: the quantizer buffers travel in
+    # state_dict, /root/reference/train.py:265-267)
+    vq_state = state.vq_state
+    raw_vq = raw.get("vq_state") if isinstance(raw, dict) else None
+    if raw_vq and vq_state is not None and not isinstance(vq_state, tuple):
+        import numpy as np
+
+        cb = np.asarray(raw_vq["codebook"], np.float32)
+        if cb.shape == tuple(vq_state.codebook.shape):
+            vq_state = type(vq_state)(
+                codebook=cb,
+                ema_counts=np.asarray(raw_vq["ema_counts"], np.float32),
+                ema_sums=np.asarray(raw_vq["ema_sums"], np.float32),
+                # pre-age-tracking checkpoints lack ages
+                ages=np.asarray(
+                    raw_vq.get("ages", np.zeros(cb.shape[0])), np.float32),
+            )
+            report["loaded"] += 4
+        else:
+            report["mismatched"].append("vq_state.codebook")
     if verbose:
         msg = f"init_from_checkpoint: {report['loaded']} tensors loaded"
         for k in ("missing", "unexpected", "mismatched"):
             if report[k]:
                 msg += f"; {len(report[k])} {k} (kept init): {report[k][:4]}"
         print(msg)
-    return state.replace(gen_params=gen_params, disc_params=disc_params)
+    return state.replace(gen_params=gen_params, disc_params=disc_params,
+                         vq_state=vq_state)
