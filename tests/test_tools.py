@@ -285,3 +285,26 @@ def test_evaluate_cli(tmp_path, video_dir):
     assert any("eval/psnr" in l and l["step"] == 2 for l in lines)
     # recon video written by the offline eval too
     assert os.listdir(tmp_path / "out" / "eval" / "videos")
+
+
+def test_supervisor_resumes_on_first_launch_over_existing_run(tmp_path):
+    """A supervisor (re)started over a run dir that already has checkpoints
+    must resume it — training a fresh model over existing checkpoints from
+    step 0 silently destroys the run (found live: an operator stop/relaunch
+    of the supervisor restarted a 1.6k-step base run from scratch)."""
+    from tools.train_supervised import launch_args
+
+    base = ["config=c.yaml", "training.main.max_steps=10"]
+    # fresh dir: args unchanged
+    assert launch_args(base, have_ckpt=False) == base
+    # existing checkpoint: resume appended, init cleared
+    got = launch_args(base, have_ckpt=True)
+    assert "general.checkpoints.resume_from_checkpoint=true" in got
+    assert "general.checkpoints.init_from_checkpoint=null" in got
+    assert got[:2] == base
+    # a stale init_from_checkpoint is overridden by the trailing null
+    # (config_from_cli applies overrides left-to-right)
+    withinit = base + ["general.checkpoints.init_from_checkpoint=w/5"]
+    got = launch_args(withinit, have_ckpt=True)
+    assert got.index("general.checkpoints.init_from_checkpoint=null") > \
+        got.index("general.checkpoints.init_from_checkpoint=w/5")

@@ -66,6 +66,20 @@ def resolve_save_path(child_args: list[str]) -> str:
     return save_path
 
 
+def launch_args(child_args: list[str], have_ckpt: bool) -> list[str]:
+    """Child argv: resume whenever the run dir already has a checkpoint —
+    also on the supervisor's FIRST launch. A supervisor (re)started over an
+    existing run dir must continue that run, not train a fresh model over
+    its checkpoints. init_from_checkpoint is cleared on resume — the
+    weights were already loaded in the run's first life, and the trainer
+    rejects resume+init together."""
+    if not have_ckpt:
+        return list(child_args)
+    return [*child_args,
+            "general.checkpoints.resume_from_checkpoint=true",
+            "general.checkpoints.init_from_checkpoint=null"]
+
+
 def main(argv: list[str]) -> int:
     rss_limit = 80.0
     poll_sec = 20.0
@@ -108,9 +122,8 @@ def main(argv: list[str]) -> int:
     )
     restarts = 0
     while True:
-        args = [sys.executable, train_py, *child_args]
-        if restarts > 0 and have_checkpoint():
-            args.append("general.checkpoints.resume_from_checkpoint=true")
+        args = [sys.executable, train_py,
+                *launch_args(child_args, have_checkpoint())]
         print(f"[supervisor] launch (restart {restarts}): {' '.join(args[2:])}",
               flush=True)
         child = subprocess.Popen(args)
