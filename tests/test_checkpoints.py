@@ -172,3 +172,28 @@ def test_vq_codebook_travels_with_init_from_checkpoint(rng, tmp_path):
     state_fsq = _state(tiny_config(), batch, seed=3)
     restored_fsq = restore_weights_only(str(tmp_path / "ck" / "0"), state_fsq)
     assert isinstance(restored_fsq.vq_state, tuple)
+
+
+def test_host_snapshot_skips_checkpoint_steps():
+    """When a periodic checkpoint saves at the same step, the host snapshot
+    must not pay a second full-state device fetch (at base scale one fetch
+    through the relay costs minutes)."""
+    import types
+
+    from titok_tpu.config import Config
+    from titok_tpu.training.trainer import Trainer
+
+    calls = []
+    ckpt = types.SimpleNamespace(
+        save_interval=1000,
+        save_snapshot=lambda step, state: calls.append(step),
+    )
+    cfg = Config({"general": {"checkpoints": {"host_snapshot_interval": 250}}})
+    self_mock = types.SimpleNamespace(config=cfg, ckpt=ckpt)
+    state = types.SimpleNamespace(step=np.int32(0))
+
+    for step in (0, 250, 500, 750, 1000, 1250, 2000):
+        state.step = np.int32(step)
+        Trainer._maybe_host_snapshot(self_mock, state, step)
+    # 1000/2000 are checkpoint steps -> skipped; 0 never snapshots
+    assert calls == [250, 500, 750, 1250]

@@ -27,6 +27,7 @@ class CheckpointManager:
     def __init__(self, directory: str, save_interval: int = 1000,
                  keep: int = 2):
         self.directory = os.path.abspath(directory)
+        self.save_interval = int(save_interval)
         os.makedirs(self.directory, exist_ok=True)
         options = ocp.CheckpointManagerOptions(
             max_to_keep=None if keep in (-1, None) else int(keep),

@@ -312,6 +312,11 @@ class Trainer:
         ))
         if not every or step_num == 0 or step_num % every:
             return
+        # a periodic checkpoint at this same step already persists the
+        # state — skip the snapshot's duplicate device fetch (at base
+        # scale one full-state fetch through the relay costs minutes)
+        if self.ckpt.save_interval and step_num % self.ckpt.save_interval == 0:
+            return
         host_state = jax.device_get(state)
         self.ckpt.save_snapshot(int(host_state.step), host_state)
 
