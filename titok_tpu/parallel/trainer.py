@@ -269,8 +269,10 @@ class DataParallelTrainer(Trainer):
                 self.builder.make_eval_metrics_step(self.device_im)
             )
         want_host_rows = bool(self.eval_metrics.metrics)
-        acc = {"psnr_sse": 0.0, "psnr_cnt": 0.0, "ssim_sum": 0.0,
-               "ssim_cnt": 0.0}
+        # device-side accumulation, one fetch per epoch (see
+        # training/trainer.py:validate — per-group float(v) fetches cost a
+        # blocking round trip each on high-latency device transports)
+        acc_dev: dict | None = None
 
         def flush(group):
             n_real = len(group)
@@ -292,8 +294,10 @@ class DataParallelTrainer(Trainer):
             recon_rows, _, stats = eval_step(
                 state.gen_params, dev, plan, mask, state.vq_state or None
             )
-            for k, v in stats.items():
-                acc[k] += float(v)
+            nonlocal acc_dev
+            acc_dev = stats if acc_dev is None else jax.tree_util.tree_map(
+                lambda a, b: a + b, acc_dev, stats
+            )
             if want_host_rows:
                 recon_host = self._host_rows(recon_rows).astype(np.float32)
                 for d, b in enumerate(local):
@@ -328,11 +332,13 @@ class DataParallelTrainer(Trainer):
 
         scores = self.eval_metrics.compute()
         self.eval_metrics.reset()
+        acc = ({k: float(v) for k, v in jax.device_get(acc_dev).items()}
+               if acc_dev is not None else {})
         if "psnr" in self.device_im:
             scores["eval/psnr"] = psnr_from_stats(
                 acc["psnr_sse"], acc["psnr_cnt"]
             )
-        if "ssim" in self.device_im and acc["ssim_cnt"] > 0:
+        if "ssim" in self.device_im and acc.get("ssim_cnt", 0) > 0:
             scores["eval/ssim"] = acc["ssim_sum"] / acc["ssim_cnt"]
         self.logger.log_metrics(scores, step_num)
         self.logger.log_console(scores, step_num)

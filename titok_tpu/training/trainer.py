@@ -392,8 +392,11 @@ class Trainer:
                 self.builder.make_eval_metrics_step(self.device_im)
             )
 
-        acc = {"psnr_sse": 0.0, "psnr_cnt": 0.0, "ssim_sum": 0.0,
-               "ssim_cnt": 0.0}
+        # stats accumulate ON DEVICE (async dispatches); one fetch at the
+        # end of the epoch. Fetching per batch (float(v)) costs a full
+        # host<->device round trip per eval batch — ~45 blocking syncs per
+        # epoch on the high-latency tunneled relay.
+        acc_dev = None
         max_grid = self.max_grid
 
         # the eval stream is deterministic (seed 0, eval transforms), so
@@ -421,8 +424,9 @@ class Trainer:
                 state.gen_params, batch.device_arrays(), plan,
                 state.vq_state or None,
             )
-            for k, v in stats.items():
-                acc[k] += float(v)
+            acc_dev = stats if acc_dev is None else jax.tree_util.tree_map(
+                lambda a, b: a + b, acc_dev, stats
+            )
 
             # host rows only when a metric or the recon logger needs them
             batch_range = range(seen, seen + batch.num_samples)
@@ -452,11 +456,13 @@ class Trainer:
 
         scores = self.eval_metrics.compute()
         self.eval_metrics.reset()
+        acc = ({k: float(v) for k, v in jax.device_get(acc_dev).items()}
+               if acc_dev is not None else {})
         if "psnr" in self.device_im:
             scores["eval/psnr"] = psnr_from_stats(
                 acc["psnr_sse"], acc["psnr_cnt"]
             )
-        if "ssim" in self.device_im and acc["ssim_cnt"] > 0:
+        if "ssim" in self.device_im and acc.get("ssim_cnt", 0) > 0:
             scores["eval/ssim"] = acc["ssim_sum"] / acc["ssim_cnt"]
         self.logger.log_metrics(scores, step_num)
         self.logger.log_console(scores, step_num)
