@@ -107,3 +107,44 @@ def test_loss_ignores_padding(rng):
         return float(val)
 
     assert abs(loss_of(b_small) - loss_of(b_large)) < 1e-5
+
+
+def test_nonfinite_grads_skipped(rng):
+    """One overflowing batch must not NaN the params (observed live at
+    base scale: an inf grad spike + clip_by_global_norm turned the whole
+    model NaN). With the guard on (default) the bad step is skipped and
+    training continues; with it off, params go NaN."""
+    cfg = tiny_config()
+    model = make_titok(cfg)
+    ls = LossSystem(cfg)
+    builder = TrainStepBuilder(model, ls, cfg)
+
+    batch = _make_batch(rng, cfg)
+    arrs = batch.device_arrays()
+    bad = dict(arrs)
+    bad["patches"] = jnp.asarray(arrs["patches"]).at[0, 0].set(jnp.inf)
+
+    state = builder.init_state(jax.random.PRNGKey(0), arrs, None)
+    step = jax.jit(builder.make_train_step(lpips_params={}))
+
+    state, m, _ = step(state, arrs, None, None)
+    assert float(m["nonfinite_grad/generator"]) == 0.0
+    state, m, _ = step(state, bad, None, None)
+    assert float(m["nonfinite_grad/generator"]) == 1.0
+    leaves = jax.tree_util.tree_leaves(state.gen_params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # training continues normally on the next good batch
+    state, m, _ = step(state, arrs, None, None)
+    assert float(m["nonfinite_grad/generator"]) == 0.0
+    assert np.isfinite(float(m["gen/total_loss"]))
+
+    # guard off: the same bad batch NaNs the params (documents why the
+    # default is on)
+    cfg_off = tiny_config(**{"training.main.skip_nonfinite_grads": False})
+    builder_off = TrainStepBuilder(make_titok(cfg_off), LossSystem(cfg_off),
+                                   cfg_off)
+    state2 = builder_off.init_state(jax.random.PRNGKey(0), arrs, None)
+    step2 = jax.jit(builder_off.make_train_step(lpips_params={}))
+    state2, m2, _ = step2(state2, bad, None, None)
+    leaves2 = jax.tree_util.tree_leaves(state2.gen_params)
+    assert not all(np.isfinite(np.asarray(l)).all() for l in leaves2)

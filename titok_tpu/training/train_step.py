@@ -180,6 +180,23 @@ class TrainStepBuilder:
         def disc_loss_fn(disc_params, recon, batch, disc, rng):
             return ls.discriminator_loss(disc_params, recon, batch, disc, rng)
 
+        # Skip-on-nonfinite: one overflowing batch must not NaN the params
+        # (observed live at base scale: a single-step grad-norm spike to
+        # 9.2e6 survived clipping, a later spike went inf and clip-by-
+        # global-norm turned the whole model NaN). Zeroing the grads
+        # preserves the optimizer-state STRUCTURE, so existing checkpoints
+        # restore cleanly (unlike optax.apply_if_finite's wrapper state).
+        guard_nonfinite = bool(
+            self.config.training.main.get("skip_nonfinite_grads", True)
+        )
+
+        def _guard(grads, norm):
+            ok = jnp.isfinite(norm)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
+            )
+            return grads, ok, 1.0 - ok.astype(jnp.float32)
+
         def train_step(state: TrainState, batch, disc, perc):
             metrics = {}
             rng, noise_key, vq_key = jax.random.split(state.rng, 3)
@@ -190,7 +207,12 @@ class TrainStepBuilder:
             )(state.gen_params, state.disc_params, batch, disc, perc,
               state.vq_state)
             metrics.update(loss_dict)
-            metrics["grad_norm/generator"] = optax.global_norm(grads)
+            g_norm = optax.global_norm(grads)
+            metrics["grad_norm/generator"] = g_norm
+            gen_ok = None
+            if guard_nonfinite:
+                grads, gen_ok, bad = _guard(grads, g_norm)
+                metrics["nonfinite_grad/generator"] = bad
             if log_param_norms:
                 metrics.update(_param_norms(grads, "model/"))
             updates, gen_opt = gen_tx.update(grads, state.gen_opt, state.gen_params)
@@ -205,6 +227,12 @@ class TrainStepBuilder:
                     rng=vq_key, batch_z=aux["z"],
                     batch_w=batch["token_mask"],
                 )
+                if gen_ok is not None:
+                    # a nonfinite forward also poisons the EMA statistics
+                    vq_state = jax.tree_util.tree_map(
+                        lambda new, old: jnp.where(gen_ok, new, old),
+                        vq_state, state.vq_state,
+                    )
                 metrics["vq/dead_code_fraction"] = vq_codec.dead_code_fraction(
                     vq_state
                 )
@@ -217,7 +245,11 @@ class TrainStepBuilder:
                     state.disc_params, recon_sg, batch, disc, noise_key
                 )
                 metrics.update(d_dict)
-                metrics["grad_norm/discriminator"] = optax.global_norm(d_grads)
+                d_norm = optax.global_norm(d_grads)
+                metrics["grad_norm/discriminator"] = d_norm
+                if guard_nonfinite:
+                    d_grads, _, d_bad = _guard(d_grads, d_norm)
+                    metrics["nonfinite_grad/discriminator"] = d_bad
                 if log_param_norms:
                     metrics.update(_param_norms(d_grads, "disc/"))
                 d_updates, disc_opt = disc_tx.update(

@@ -41,7 +41,9 @@ def load_series(path: str, metric: str) -> tuple[list, list]:
             except json.JSONDecodeError:
                 continue
             if metric in rec and rec.get("step") is not None:
-                seen.setdefault(int(rec["step"]), float(rec[metric]))
+                v = float(rec[metric])
+                if v == v and abs(v) != float("inf"):  # skip NaN/inf rows
+                    seen.setdefault(int(rec["step"]), v)
     steps = sorted(seen)
     return steps, [seen[s] for s in steps]
 
