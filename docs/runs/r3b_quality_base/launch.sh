@@ -13,11 +13,12 @@
 #   python -m titok_tpu.data.convert_to_wds .scratch/raw/train .scratch/wds/train --shard-size 64
 #   python -m titok_tpu.data.convert_to_wds .scratch/raw/eval  .scratch/wds/eval  --shard-size 64
 #
-# LPIPS stays off (allow_random_lpips=false, no pretrained VGG stageable
-# in this zero-egress image); loss = L1 + relativistic GAN as in the
-# companion runs.
+# LPIPS stays off (perceptual_weight=0.0 — the trainer hard-errors on a
+# missing LPIPS checkpoint otherwise, by design); loss = L1 +
+# relativistic GAN as in the companion runs.
 exec python tools/train_supervised.py config=configs/tiny.yaml \
     general.wandb.run_name=r3b-base-quality \
+    tokenizer.losses.perceptual_weight=0.0 \
     general.checkpoints.save_path=.scratch/base_run \
     general.checkpoints.host_snapshot_interval=250 \
     tokenizer.model.encoder_size=base \

@@ -308,3 +308,29 @@ def test_supervisor_resumes_on_first_launch_over_existing_run(tmp_path):
     got = launch_args(withinit, have_ckpt=True)
     assert got.index("general.checkpoints.init_from_checkpoint=null") > \
         got.index("general.checkpoints.init_from_checkpoint=w/5")
+
+
+def test_supervisor_aborts_on_fast_crash_loop(monkeypatch):
+    """A child that dies within seconds of every launch (bad override,
+    missing weights) is a deterministic failure: the supervisor must stop
+    after fast_fail_limit consecutive attempts instead of relaunching
+    forever (found live: a missing perceptual_weight=0 override crash-looped
+    a base run 38 times in 14 minutes)."""
+    import tools.train_supervised as ts
+
+    launches = []
+
+    class FakeChild:
+        pid = 4242
+
+        def poll(self):
+            return 1  # dies instantly, rc=1
+
+    def fake_popen(args, **kw):
+        launches.append(args)
+        return FakeChild()
+
+    monkeypatch.setattr(ts.subprocess, "Popen", fake_popen)
+    rc = ts.main(["config=/nonexistent.yaml", "--fast-fail-limit", "3"])
+    assert rc == 1
+    assert len(launches) == 3  # not max_restarts (50)

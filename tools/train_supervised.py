@@ -84,6 +84,12 @@ def main(argv: list[str]) -> int:
     rss_limit = 80.0
     poll_sec = 20.0
     max_restarts = 50
+    # consecutive fast non-zero exits before giving up: a child that dies
+    # within seconds of launch (bad override, missing weights, unreadable
+    # dataset) fails deterministically — relaunching is a crash loop, not
+    # recovery. Long-lived children and planned recycles reset the count.
+    fast_fail_limit = 3
+    fast_fail_sec = 120.0
     # don't enforce the RSS limit until the child has had time to reach
     # the training loop: before that the preemption handler isn't
     # installed yet and SIGTERM would kill without a save
@@ -99,6 +105,8 @@ def main(argv: list[str]) -> int:
             max_restarts = int(next(it))
         elif a == "--min-lifetime-sec":
             min_lifetime = float(next(it))
+        elif a == "--fast-fail-limit":
+            fast_fail_limit = int(next(it))
         else:
             child_args.append(a)
 
@@ -121,6 +129,7 @@ def main(argv: list[str]) -> int:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "train.py"
     )
     restarts = 0
+    fast_fails = 0
     while True:
         args = [sys.executable, train_py,
                 *launch_args(child_args, have_checkpoint())]
@@ -157,6 +166,17 @@ def main(argv: list[str]) -> int:
         if rc == 0:
             print("[supervisor] child completed", flush=True)
             return 0
+        lifetime = time.time() - t_start
+        if rc != 143 and lifetime < fast_fail_sec:
+            fast_fails += 1
+            if fast_fails >= fast_fail_limit:
+                print(f"[supervisor] {fast_fails} consecutive exits with "
+                      f"rc={rc} within {fast_fail_sec:.0f}s — deterministic "
+                      "failure, NOT relaunching (fix the config/launch args)",
+                      flush=True)
+                return rc
+        else:
+            fast_fails = 0
         restarts += 1
         if restarts > max_restarts:
             print(f"[supervisor] giving up after {restarts} restarts "
