@@ -216,11 +216,14 @@ BASE_LAST_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def bench_base_forward(seq_len=4096, clip=(16, 256, 256), token_count=64,
-                       iters=6):
+                       iters=6, model_size="base", quantizer="vq",
+                       label="base_vq cfg, EMA-VQ 16k"):
     """Forward encode+decode at the base_vq.yaml north-star shapes
     (BASELINE.json configs[2]): base tokenizer (12L, width 768, 12q/4kv
     heads), patch [4,16,16], 16x256^2 clips, EMA-VQ 16k codebook via the
-    Pallas nearest-neighbor kernel. Scan-chained like build_bench."""
+    Pallas nearest-neighbor kernel. Scan-chained like build_bench.
+    model_size/quantizer parameterize the same harness for the large
+    (24L/1024w, FSQ-16k) config."""
     import jax
     import jax.numpy as jnp
 
@@ -233,15 +236,22 @@ def bench_base_forward(seq_len=4096, clip=(16, 256, 256), token_count=64,
     grid = (clip[0] // patch[0]) * (clip[1] // patch[1]) * (clip[2] // patch[2])
     per = grid + token_count
     n = seq_len // per
-    model = TiTok(patch_size=patch, encoder_size="base", decoder_size="base",
-                  dtype=jnp.bfloat16, attn_impl="auto", quantizer="vq",
-                  vq_codebook_size=16384, vq_dim=8, max_seg_len=per)
+    kw = {}
+    if quantizer == "vq":
+        kw = dict(vq_codebook_size=16384, vq_dim=8)
+    else:
+        kw = dict(fsq_levels=(8, 8, 8, 6, 5))  # 16k-code FSQ (large.yaml)
+    model = TiTok(patch_size=patch, encoder_size=model_size,
+                  decoder_size=model_size, dtype=jnp.bfloat16,
+                  attn_impl="auto", quantizer=quantizer, max_seg_len=per,
+                  **kw)
     vids = [rng.uniform(-1, 1, size=(3, *clip)).astype(np.float32)
             for _ in range(n)]
     batch = pack_samples(vids, [token_count] * n, seq_len=seq_len,
                          max_samples=max(n, 1), patch_size=patch)
     arrs = jax.device_put(batch.device_arrays())
-    vq_state = init_vq_state(jax.random.PRNGKey(1), 16384, 8)
+    vq_state = (init_vq_state(jax.random.PRNGKey(1), 16384, 8)
+                if quantizer == "vq" else None)
     params = model.init(jax.random.PRNGKey(0), arrs, vq_state)["params"]
 
     @jax.jit
@@ -262,8 +272,8 @@ def bench_base_forward(seq_len=4096, clip=(16, 256, 256), token_count=64,
     _ = np.asarray(chained(params, arrs, vq_state)[0])
     dt = time.perf_counter() - t0
     return {
-        "metric": f"clips/sec/chip encode+decode (base_vq cfg, "
-                  f"{clip[0]}x{clip[1]}^2 clips, EMA-VQ 16k, seq {seq_len})",
+        "metric": f"clips/sec/chip encode+decode ({label}, "
+                  f"{clip[0]}x{clip[1]}^2 clips, seq {seq_len})",
         "value": round(n * iters / dt, 3),
         "unit": "clips/sec/chip",
         "fwd_ms": round(dt / iters * 1e3, 2),
@@ -300,6 +310,43 @@ def bench_base(out=None):
             print(json.dumps(results[f"base_{variant}"]), file=sys.stderr,
                   flush=True)
         json.dump(results, open(BASE_LAST_PATH, "w"))
+    return results
+
+
+LARGE_LAST_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LARGE_LAST.json")
+
+
+def bench_large(out=None):
+    """Large-scale bench suite (configs/large.yaml: 24L/1024w tokenizer,
+    FSQ 16k, remat). Gated behind TITOK_BENCH_LARGE=1 for the same reason
+    as bench_base — the compiles are heavy remote programs; run it
+    manually when the chip is otherwise idle, not from the driver's
+    default bench. The GAN variant additionally remats the large
+    discriminator (6 forwards over the stacked buffer)."""
+    import sys
+
+    results = {}
+    results["large_forward"] = bench_base_forward(
+        model_size="large", quantizer="fsq", label="large cfg, FSQ 16k",
+        iters=4)
+    print(json.dumps(results["large_forward"]), file=sys.stderr, flush=True)
+    json.dump(results, open(LARGE_LAST_PATH, "w"))
+    for variant in ("L1", "L1+GAN"):
+        try:
+            r = bench_train(seq_len=8192, clip=(16, 160, 160), iters=3,
+                            model_size="large", remat=True,
+                            variants=(variant,), tag="large cfg remat")
+            results.update({f"large_{k}": v for k, v in r.items()})
+        except Exception as e:  # e.g. HBM OOM: record, keep the suite going
+            msg = str(e).splitlines()[:3]
+            results[f"large_{variant}"] = {
+                "metric": f"train-step {variant} (large cfg remat)",
+                "value": 0.0, "error": " ".join(msg)[:500],
+            }
+            print(json.dumps(results[f"large_{variant}"]), file=sys.stderr,
+                  flush=True)
+        json.dump(results, open(LARGE_LAST_PATH, "w"))
     return results
 
 
@@ -453,6 +500,29 @@ def main():
         t.start()
         try:
             bench_base()
+        finally:
+            t.cancel()
+
+    # large-scale suite (opt-in, same wedge caveats as base)
+    if os.environ.get("TITOK_BENCH_LARGE", "0") == "1":
+        import sys
+        import threading
+
+        def large_fallback():
+            note = {"metric": "large-scale bench", "value": 0.0,
+                    "note": "TPU relay unreachable during large bench"}
+            if os.path.exists(LARGE_LAST_PATH):
+                note = json.load(open(LARGE_LAST_PATH))
+                note["note"] = ("relay unreachable; last recorded large "
+                                "measurements")
+            print(json.dumps(note), file=sys.stderr, flush=True)
+            os._exit(0)
+
+        t = threading.Timer(WATCHDOG_S * 4, large_fallback)
+        t.daemon = True
+        t.start()
+        try:
+            bench_large()
         finally:
             t.cancel()
 
