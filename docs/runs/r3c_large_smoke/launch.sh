@@ -24,6 +24,7 @@ exec python tools/train_supervised.py config=configs/tiny.yaml \
     tokenizer.model.decoder_size=large \
     discriminator.model.model_size=large \
     training.main.remat=true \
+    dataset.uint8_wire=true \
     "dataset.train_dataset=.scratch/wds/train/{00000..00018}.tar" \
     "dataset.eval_dataset=.scratch/wds/eval/{00000..00002}.tar" \
     training.main.max_steps=2000

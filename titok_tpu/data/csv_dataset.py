@@ -16,7 +16,7 @@ from typing import Iterator
 import numpy as np
 
 from titok_tpu.data.chunking import chunk_shuffle_buffer, iter_video_chunks
-from titok_tpu.data.packing import PackedBatch, Packer, host_dtype
+from titok_tpu.data.packing import PackedBatch, Packer, wire_dtype
 from titok_tpu.data.video_reader import VideoReader
 
 
@@ -90,7 +90,7 @@ def csv_batches(config, eval: bool = False, seed: int = 0,
         token_range=cs.token_range,
         patch_size=patch_size,
         min_grid=cs.min_grid,
-        dtype=host_dtype(config.training.main.precision),
+        dtype=wire_dtype(config),
         rng=rng,
         flush_final=eval,
     )

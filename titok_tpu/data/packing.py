@@ -32,7 +32,12 @@ from typing import Iterable, Iterator, Sequence
 import numpy as np
 
 from titok_tpu.models.rope import positions_for_sample, rope_cos_sin
-from titok_tpu.ops.patchify import patchify, unpatchify
+from titok_tpu.ops.patchify import (
+    decode_rows,
+    patchify,
+    patchify_thwc_u8,
+    unpatchify,
+)
 
 try:  # bf16 host buffers halve H2D bytes; ml_dtypes ships with jax
     import ml_dtypes
@@ -53,6 +58,18 @@ def host_dtype(precision: str):
     """Map a config precision string ('bf16-mixed', '32', ...) to a numpy dtype
     (reference ``dataset/video_dataset.py:24-35``)."""
     return HOST_DTYPES[str(precision).split("-")[0]]
+
+
+def wire_dtype(config):
+    """Host-buffer dtype for packed pixel rows. ``dataset.uint8_wire: true``
+    ships raw pixel bytes and normalizes on device (``decode_rows``):
+    4x less host->device traffic than f32, 2x less than bf16, and MORE
+    accurate than a bf16 wire (the bf16 round of the normalized value is
+    skipped; sources are uint8 video anyway). Default off: the float wire
+    is the reference-shaped layout (``video_dataset.py:24-35``)."""
+    if bool(config.dataset.get("uint8_wire", False)):
+        return np.uint8
+    return host_dtype(config.training.main.precision)
 
 
 @dataclasses.dataclass
@@ -117,9 +134,22 @@ def video_dims(vid: np.ndarray) -> tuple[int, ...]:
     return tuple(vid.shape[1:])
 
 
-def _video_rows(vid: np.ndarray, patch_size: Sequence[int]) -> np.ndarray:
-    """Patchified [-1,1] rows for a clip; uint8 THWC goes through the fused
-    C++ normalize+patchify kernel, float CTHW through numpy patchify."""
+def _video_rows(vid: np.ndarray, patch_size: Sequence[int], dtype=None) -> np.ndarray:
+    """Patchified rows for a clip.
+
+    Float wire (default): [-1,1] rows — uint8 THWC goes through the fused
+    C++ normalize+patchify kernel, float CTHW through numpy patchify.
+
+    uint8 wire (``dtype=np.uint8``): raw pixel-byte rows — uint8 THWC is a
+    pure host-side byte shuffle (``patchify_thwc_u8``); a float source
+    (synthetic streams) is quantized back to pixel bytes so every batch of
+    a run keeps ONE wire dtype (a per-batch dtype flip would recompile the
+    jitted step)."""
+    if dtype == np.uint8:
+        if vid.dtype == np.uint8 and vid.ndim == 4 and vid.shape[-1] in (1, 3):
+            return patchify_thwc_u8(vid, patch_size)
+        rows = patchify(np.asarray(vid, np.float32), patch_size)
+        return np.clip(np.rint((rows + 1.0) * 127.5), 0, 255).astype(np.uint8)
     if vid.dtype == np.uint8 and vid.ndim == 4 and vid.shape[-1] in (1, 3):
         try:
             from titok_tpu.data.video_reader import patchify_normalize
@@ -185,7 +215,7 @@ def pack_samples(
 
         segment_ids[offset:end] = b + 1
         token_mask[offset : offset + tc] = True
-        patches[offset + tc : end] = _video_rows(vid, patch_size).astype(dtype)
+        patches[offset + tc : end] = _video_rows(vid, patch_size, dtype).astype(dtype)
         positions[offset:end] = positions_for_sample(grid, tc)
         offset = end
 

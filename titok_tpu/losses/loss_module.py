@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from titok_tpu.losses.lpips import LPIPS
 from titok_tpu.models.blocks import PackedEncoder
 from titok_tpu.ops.frames import extract_perceptual_frames
+from titok_tpu.ops.patchify import decode_rows
 
 
 def _per_sample_mean(values_rows, segment_ids, row_mask, num_segments):
@@ -186,7 +187,7 @@ class LossSystem:
         disc,         # DiscBatch device arrays (or None)
         perc,         # PerceptualPlan device arrays (or None)
     ):
-        target_rows = batch["patches"].astype(jnp.float32)
+        target_rows = decode_rows(batch["patches"], jnp.float32)
         recon_f = recon_rows.astype(jnp.float32)
         seg = batch["segment_ids"]
         patch_mask = (~batch["token_mask"]) & (seg > 0)
@@ -249,7 +250,7 @@ class LossSystem:
         disc,
         rng,
     ):
-        target_rows = batch["patches"].astype(jnp.float32)
+        target_rows = decode_rows(batch["patches"], jnp.float32)
         recon_f = recon_rows.astype(jnp.float32)
         valid = batch["sample_valid"]
         loss_dict = {}
@@ -298,7 +299,7 @@ class LossSystem:
 
     # -- init ---------------------------------------------------------------
     def init_disc_params(self, rng, batch, disc):
-        rows = self._disc_rows(jnp.asarray(batch["patches"], jnp.float32), disc)
+        rows = self._disc_rows(decode_rows(batch["patches"], jnp.float32), disc)
         return self.disc_model.init(
             rng, rows, disc["token_mask"], disc["segment_ids"],
             disc["rope_cos"], disc["rope_sin"],

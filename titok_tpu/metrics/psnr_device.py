@@ -17,11 +17,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from titok_tpu.ops.patchify import decode_rows
+
 
 def packed_psnr_stats(recon_rows: jnp.ndarray, batch: dict):
     """(sum_squared_error, pixel_count) over the valid patch rows, with the
     reconstruction clamped to [-1, 1] as the eval hub does."""
-    target = batch["patches"].astype(jnp.float32)
+    target = decode_rows(batch["patches"], jnp.float32)
     recon = jnp.clip(recon_rows.astype(jnp.float32), -1.0, 1.0)
     mask = ((~batch["token_mask"]) & (batch["segment_ids"] > 0)).astype(
         jnp.float32

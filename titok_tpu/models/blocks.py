@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from titok_tpu.models.transformer import ResidualAttentionBlock, dense_init
+from titok_tpu.ops.patchify import decode_rows
 from titok_tpu.ops.rmsnorm import RMSNorm
 
 MODEL_DIMS = {
@@ -83,10 +84,12 @@ class PackedEncoder(nn.Module):
         width, num_layers, heads, mlp_ratio = get_model_dims(self.model_size)
         scale = width ** -0.5
 
+        # decode_rows: uint8 wire rows normalize to [-1,1] here (on device,
+        # fused into proj_in by XLA); float rows just cast
         x_p = nn.Dense(
             width, name="proj_in", kernel_init=dense_init,
             dtype=self.dtype, param_dtype=jnp.float32,
-        )(patches.astype(self.dtype))
+        )(decode_rows(patches, self.dtype))
 
         mask_token = self.param(
             "mask_token", _mask_token_init(scale), (1, 1), jnp.float32

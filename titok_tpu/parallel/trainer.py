@@ -260,6 +260,7 @@ class DataParallelTrainer(Trainer):
         the stats by a row mask inside the jitted step. Recon rows only
         cross to host when a host-hub metric still needs them."""
         from titok_tpu.data.packing import unpack_videos
+        from titok_tpu.ops.patchify import decode_rows
         from titok_tpu.metrics.psnr_device import psnr_from_stats
         from titok_tpu.ops.frames import build_eval_frame_plan
 
@@ -305,7 +306,7 @@ class DataParallelTrainer(Trainer):
                         continue  # padded repeat-row
                     recon = unpack_videos(recon_host[d], b, self.patch_size)
                     target = unpack_videos(
-                        np.asarray(b.patches, np.float32), b,
+                        decode_rows(b.patches, np.float32), b,
                         self.patch_size,
                     )
                     self.eval_metrics.update(recon, target)

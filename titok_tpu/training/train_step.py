@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from titok_tpu.ops.patchify import decode_rows
 from titok_tpu.train_utils.lr_schedulers import get_scheduler
 
 
@@ -309,7 +310,7 @@ class TrainStepBuilder:
                     plan, patch_size,
                 )
                 tgt = gather_frames(
-                    batch["patches"].astype(jnp.float32), plan, patch_size
+                    decode_rows(batch["patches"], jnp.float32), plan, patch_size
                 )
                 s_sum, s_cnt = ssim_frames_stats(
                     rec, tgt, plan["scale"], plan["weight"]

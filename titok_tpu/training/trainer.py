@@ -28,6 +28,7 @@ from titok_tpu.losses.lpips import load_lpips_params
 from titok_tpu.metrics.eval_metrics import EvalMetrics
 from titok_tpu.models.titok import make_titok
 from titok_tpu.ops.frames import build_perceptual_plan
+from titok_tpu.ops.patchify import decode_rows
 from titok_tpu.train_utils.checkpoints import CheckpointManager, restore_weights_only
 from titok_tpu.train_utils.codebook_logging import CodebookLogger
 from titok_tpu.train_utils.logging import MetricsLogger
@@ -39,7 +40,7 @@ def synthetic_batches(config, eval=False, seed=0):
     (``dataset.train_dataset: synthetic``)."""
     import numpy as np
 
-    from titok_tpu.data.packing import Packer, host_dtype
+    from titok_tpu.data.packing import Packer, wire_dtype
 
     cs = config.training.sampling
     ps = list(config.tokenizer.model.patch_size)
@@ -58,7 +59,7 @@ def synthetic_batches(config, eval=False, seed=0):
     packer = Packer(
         seq_len=int(cs.eval_seq_len if eval else cs.train_seq_len),
         token_range=cs.token_range, patch_size=ps, min_grid=cs.min_grid,
-        dtype=host_dtype(config.training.main.precision), rng=rng,
+        dtype=wire_dtype(config), rng=rng,
         flush_final=eval,
     )
     yield from packer(stream())
@@ -436,7 +437,7 @@ class Trainer:
                     np.asarray(recon_rows, np.float32), batch, self.patch_size
                 )
                 target = unpack_videos(
-                    np.asarray(batch.patches, np.float32), batch,
+                    decode_rows(batch.patches, np.float32), batch,
                     self.patch_size,
                 )
                 self.eval_metrics.update(recon, target)
