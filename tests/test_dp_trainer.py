@@ -42,6 +42,28 @@ def test_dp_fit(csv_file, tmp_path):
     assert any("eval/psnr" in l for l in lines)
 
 
+def test_dp_fit_uint8_wire(csv_file, tmp_path):
+    """DP mesh fit on the uint8 wire with real mp4 (uint8-source) clips:
+    the per-shard decode_rows path + device eval metrics under vmap."""
+    cfg = _cfg(csv_file, tmp_path / "dp_u8")
+    cfg.set_dotted("training.main.train_devices", 4)
+    cfg.set_dotted("training.main.max_steps", 2)
+    cfg.set_dotted("training.eval.eval_step_interval", 2)
+    cfg.set_dotted("dataset.uint8_wire", True)
+    trainer = DataParallelTrainer(cfg)
+    state = trainer.fit()
+    assert int(state.step) == 2
+    lines = [json.loads(l) for l in
+             open(os.path.join(cfg.general.checkpoints.save_path,
+                               "metrics.jsonl"))]
+    import numpy as np
+
+    losses = [l["train/gen/total_loss"] for l in lines
+              if "train/gen/total_loss" in l]
+    assert losses and np.isfinite(losses).all()
+    assert any("eval/psnr" in l for l in lines)
+
+
 def test_dp_fit_resume(csv_file, tmp_path):
     """resume_from_checkpoint is honored by the DP-family trainers
     (previously only the single-device Trainer restored; the DP fit
