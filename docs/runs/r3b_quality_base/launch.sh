@@ -20,7 +20,8 @@ exec python tools/train_supervised.py config=configs/tiny.yaml \
     general.wandb.run_name=r3b-base-quality \
     tokenizer.losses.perceptual_weight=0.0 \
     general.checkpoints.save_path=.scratch/base_run \
-    general.checkpoints.host_snapshot_interval=250 \
+    general.checkpoints.host_snapshot_interval=0 \
+    general.checkpoints.preemption_save_timeout_s=450 \
     tokenizer.model.encoder_size=base \
     tokenizer.model.decoder_size=base \
     discriminator.model.model_size=base \

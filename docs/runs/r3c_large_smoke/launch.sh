@@ -18,7 +18,8 @@ exec python tools/train_supervised.py config=configs/tiny.yaml \
     general.wandb.run_name=r3c-large-smoke \
     tokenizer.losses.perceptual_weight=0.0 \
     general.checkpoints.save_path=.scratch/large_run \
-    general.checkpoints.host_snapshot_interval=250 \
+    general.checkpoints.host_snapshot_interval=0 \
+    general.checkpoints.preemption_save_timeout_s=450 \
     general.checkpoints.save_interval=500 \
     tokenizer.model.encoder_size=large \
     tokenizer.model.decoder_size=large \

@@ -321,13 +321,24 @@ class Trainer:
         host_state = jax.device_get(state)
         self.ckpt.save_snapshot(int(host_state.step), host_state)
 
-    def _save_with_fallback(self, state, timeout_s: float = 180.0) -> bool:
+    def _save_with_fallback(self, state, timeout_s: float | None = None) -> bool:
         """Preemption save with a bounded wait: the device fetch inside an
         orbax save hangs forever on a wedged relay. Run it in a worker
         thread and give up after ``timeout_s`` — the periodic host snapshot
         (``_maybe_host_snapshot``) is already on disk, so resume still
-        loses at most ``host_snapshot_interval`` steps."""
+        loses at most ``host_snapshot_interval`` steps.
+
+        ``general.checkpoints.preemption_save_timeout_s`` (default 180)
+        sizes the budget: a full-state fetch scales with model size, so
+        base/large runs need more than the tiny-scale default (measured
+        ~100-200 s per base-scale save through the relay) — but keep it
+        under the supervisor's SIGKILL grace (600 s)."""
         import threading
+
+        if timeout_s is None:
+            timeout_s = float(self.config.general.checkpoints.get(
+                "preemption_save_timeout_s", 180.0
+            ))
 
         done = threading.Event()
 
