@@ -110,3 +110,52 @@ def test_synthetic_backend_selection():
     assert batch.num_samples >= 1
     evals = list(synthetic_batches(cfg, eval=True, seed=0))
     assert sum(b.num_samples for b in evals) >= 1
+
+
+def test_steps_per_call_matches_single_step(csv_file, tmp_path):
+    """K steps per dispatch (lax.scan) == the one-step-per-dispatch loop:
+    same data stream + seeds -> same final params; cadence artifacts
+    (train/eval metrics lines, checkpoints) still appear. Includes the
+    unaligned tail (max_steps % K != 0) driven through the scan program's
+    sub-batch slices."""
+    import jax
+
+    cfg1 = _cfg(csv_file, tmp_path / "k1")
+    cfg1.set_dotted("tokenizer.losses.disc_weight", 0.4)
+    cfg1.set_dotted("training.main.max_steps", 7)
+    state1 = Trainer(cfg1).fit()
+
+    cfg3 = _cfg(csv_file, tmp_path / "k3")
+    cfg3.set_dotted("tokenizer.losses.disc_weight", 0.4)
+    cfg3.set_dotted("training.main.max_steps", 7)
+    cfg3.set_dotted("training.main.steps_per_call", 3)  # tail of 1
+    state3 = Trainer(cfg3).fit()
+
+    assert int(state1.step) == int(state3.step) == 7
+
+    # scan vs unrolled XLA programs reassociate differently; the GAN's
+    # finite-diff penalties amplify that rounding on individual near-zero
+    # disc weights. Compare trajectories by relative norm per leaf — tight
+    # enough that a data/rng mismatch (different batches consumed) fails.
+    def assert_same_trajectory(t1, t3):
+        for a, b in zip(jax.tree_util.tree_leaves(t1),
+                        jax.tree_util.tree_leaves(t3)):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            denom = max(float(np.linalg.norm(a)), 1e-6)
+            assert float(np.linalg.norm(a - b)) / denom < 5e-3
+
+    assert_same_trajectory(state1.gen_params, state3.gen_params)
+    assert_same_trajectory(state1.disc_params, state3.disc_params)
+
+    lines = [json.loads(l) for l in
+             open(os.path.join(cfg3.general.checkpoints.save_path,
+                               "metrics.jsonl"))]
+    assert any("train/gen/total_loss" in l for l in lines)
+    assert any("train/disc/d_loss" in l for l in lines)
+    # final eval fires at max_steps in scan mode too
+    assert any("eval/psnr" in l and l["step"] == 7 for l in lines)
+    # interval-crossing checkpoints exist (save_interval=2 with K=3)
+    steps = [d for d in os.listdir(cfg3.general.checkpoints.save_path)
+             if d.isdigit()]
+    assert steps

@@ -23,6 +23,8 @@ from titok_tpu.training.trainer import Trainer
 
 
 class ContextParallelTrainer(Trainer):
+    supports_steps_per_call = False  # seq-sharded loader: no scan axis
+
     def __init__(self, config, batches_fn=None):
         super().__init__(config, batches_fn)
         self.n_shards = int(config.training.main.get("cp_devices", 1))

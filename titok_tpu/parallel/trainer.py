@@ -167,6 +167,11 @@ class DataParallelTrainer(Trainer):
     def fit(self):
         cfg = self.config
         cm = cfg.training.main
+        if int(cm.get("steps_per_call", 1)) > 1:
+            raise ValueError(
+                "training.main.steps_per_call > 1 is only supported by the "
+                f"single-device trainer (this is {type(self).__name__})"
+            )
         max_steps = int(cm.max_steps)
         log_every = int(cfg.general.wandb.get("log_step_interval", 50))
         eval_every = int(cfg.training.eval.get("eval_step_interval", 1000))

@@ -272,6 +272,31 @@ class TrainStepBuilder:
 
         return train_step
 
+    def make_train_step_scan(self, lpips_params, steps_per_call: int) -> Callable:
+        """K train steps per device dispatch via ``lax.scan``
+        (``training.main.steps_per_call``).
+
+        One jitted call advances K steps over K stacked batches, so the
+        per-dispatch overhead (host RTT on the tunneled relay, runtime
+        launch cost everywhere) and the per-step host fetches (metrics,
+        codebook indices) amortize over K. The body is exactly
+        ``make_train_step``; metrics/indices come back stacked ``[K, ...]``.
+        """
+        step = self.make_train_step(lpips_params)
+
+        def scan_step(state: TrainState, batches, discs, percs):
+            def body(st, xs):
+                b, d, p = xs
+                st, metrics, indices = step(st, b, d, p)
+                return st, (metrics, indices)
+
+            state, (metrics, indices) = jax.lax.scan(
+                body, state, (batches, discs, percs), length=steps_per_call
+            )
+            return state, metrics, indices
+
+        return scan_step
+
     def make_eval_step(self) -> Callable:
         model = self.model
 

@@ -88,6 +88,11 @@ def select_data_backend(config):
 
 
 class Trainer:
+    # training.main.steps_per_call (K steps per device dispatch) is
+    # implemented for the single-device loop; mesh trainers shard batches
+    # with per-leaf specs that don't carry the extra leading scan axis
+    supports_steps_per_call = True
+
     def __init__(self, config, batches_fn=None):
         from titok_tpu.train_utils.compile_cache import setup_compilation_cache
 
@@ -230,12 +235,22 @@ class Trainer:
             f.write(cfg.to_yaml())
 
         state = self._init_state(seed)
-        self._install_preemption_save(lambda: state)
-        train_step = jax.jit(self.builder.make_train_step(self.lpips_params),
-                             donate_argnums=(0,))
         self._eval_step = jax.jit(
             self.builder.make_eval_metrics_step(self.device_im)
         )
+        steps_per_call = int(cm.get("steps_per_call", 1))
+        if steps_per_call > 1:
+            if not self.supports_steps_per_call:
+                raise ValueError(
+                    "training.main.steps_per_call > 1 is only supported by "
+                    "the single-device trainer (this is "
+                    f"{type(self).__name__})"
+                )
+            return self._fit_scan(state, steps_per_call, seed, max_steps,
+                                  log_every, eval_every)
+        self._install_preemption_save(lambda: state)
+        train_step = jax.jit(self.builder.make_train_step(self.lpips_params),
+                             donate_argnums=(0,))
 
         extras_rng = np.random.default_rng(seed + 1)
         loader = PrefetchLoader(
@@ -298,6 +313,130 @@ class Trainer:
         if eval_every and step_num > 0 and step_num != last_eval:
             self.validate(state, step_num)
         self.ckpt.save(int(state.step), state)
+        self.ckpt.wait()
+        return state
+
+    def _fit_scan(self, state, K: int, seed, max_steps, log_every, eval_every):
+        """``training.main.steps_per_call: K`` — K train steps per device
+        dispatch (``lax.scan`` over K stacked batches, see
+        ``TrainStepBuilder.make_train_step_scan``).
+
+        Amortizes per-dispatch overhead over K steps: one H2D transfer, one
+        metrics/indices fetch, one runtime launch per K steps. On the
+        tunneled relay this closes most of the gap between the production
+        loop and bench.py's scan-chained step time. Cadence semantics:
+        eval/checkpoint/snapshot fire on *interval crossings* — when a
+        multiple of the interval falls inside a call's step window, the
+        trigger runs at the end of that call (the state is then at most K-1
+        steps past the multiple; exact when K divides the interval and the
+        run starts aligned). A tail of ``(max_steps - start) % K`` steps is
+        driven through the same compiled program one sub-batch at a time.
+        """
+        cfg = self.config
+        self._install_preemption_save(lambda: state)
+        scan_step = jax.jit(
+            self.builder.make_train_step_scan(self.lpips_params, K),
+            donate_argnums=(0,),
+        )
+        single_step = None  # lazily jitted, only for the unaligned tail
+
+        extras_rng = np.random.default_rng(seed + 1)
+        loader = PrefetchLoader(
+            lambda: self.batches_fn(self.config, eval=False, seed=seed),
+            build_extras=lambda b: self._build_extras(b, extras_rng),
+            sharding=getattr(self, "_loader_sharding", None),
+            group=K,
+        )
+
+        from titok_tpu.train_utils.profiling import StepTimer
+
+        timer = StepTimer(steps_per_tick=K)
+        snap_every = int(cfg.general.checkpoints.get(
+            "host_snapshot_interval", 0))
+        save_every = self.ckpt.save_interval
+
+        def crossed(interval, start, end) -> bool:
+            """A positive multiple of ``interval`` lies in (start, end]."""
+            return bool(interval) and end // interval > start // interval
+
+        t_last = time.time()
+        tokens_since = 0
+        last_eval = -1
+        last_saved = -1
+        step_num = int(state.step)
+        for dev, batches, dev_extras in loader:
+            if step_num >= max_steps:
+                break
+            k_here = len(batches)
+            take = min(k_here, max_steps - step_num)
+            if take == k_here:
+                state, metrics, indices = scan_step(
+                    state, dev, dev_extras.get("disc"), dev_extras.get("perc")
+                )
+            else:
+                # tail: fewer steps left than the group size — reuse the
+                # stacked transfer, step through its first `take` slices
+                if single_step is None:
+                    single_step = jax.jit(
+                        self.builder.make_train_step(self.lpips_params),
+                        donate_argnums=(0,),
+                    )
+                ms, idxs = [], []
+                for j in range(take):
+                    sub = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                        lambda x: x[j], t) if t is not None else None
+                    state, m, ix = single_step(
+                        state, sub(dev), sub(dev_extras.get("disc")),
+                        sub(dev_extras.get("perc")),
+                    )
+                    ms.append(m)
+                    idxs.append(ix)
+                metrics = jax.tree_util.tree_map(
+                    lambda *xs: np.stack([np.asarray(x) for x in xs]), *ms
+                )
+                indices = np.stack([np.asarray(ix) for ix in idxs])
+                batches = batches[:take]
+            start, step_num = step_num, step_num + take
+            timer.tick()
+            tokens_since += sum(b.seq_len for b in batches)
+
+            if self.codebook_logger is not None:
+                idx_host = np.asarray(indices)
+                for j, b in enumerate(batches):
+                    self.codebook_logger(unpack_indices(idx_host[j], b))
+
+            if crossed(log_every, start - 1, step_num - 1) or start == 0:
+                # log every window step that sits on the cadence (one fetch)
+                host_metrics = jax.device_get(metrics)
+                perf = {"perf/tokens_per_sec":
+                        tokens_since / max(time.time() - t_last, 1e-9)}
+                perf.update(timer.stats())
+                t_last, tokens_since = time.time(), 0
+                for j in range(take):
+                    if (start + j) % log_every:
+                        continue
+                    scalars = {
+                        "train/" + k: np.asarray(v)[j]
+                        for k, v in host_metrics.items()
+                    }
+                    scalars.update(perf)
+                    self.logger.log_metrics(scalars, start + j)
+                    self.logger.log_console(scalars, start + j)
+
+            if crossed(eval_every, start, step_num):
+                self.validate(state, step_num)
+                last_eval = step_num
+            if crossed(save_every, start, step_num):
+                self.ckpt.save(step_num, state)
+                last_saved = step_num
+            elif crossed(snap_every, start, step_num):
+                host_state = jax.device_get(state)
+                self.ckpt.save_snapshot(int(host_state.step), host_state)
+
+        if eval_every and step_num > 0 and step_num != last_eval:
+            self.validate(state, step_num)
+        if last_saved != step_num:
+            self.ckpt.save(int(state.step), state)
         self.ckpt.wait()
         return state
 
