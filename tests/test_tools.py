@@ -72,6 +72,32 @@ def test_prefetch_loader(rng):
     assert int(extras["n"]) == 2
 
 
+def test_prefetch_loader_grouped(rng):
+    """group=K stacks K batches on a new leading axis (one transfer) and
+    flushes a final partial group when the stream ends mid-group."""
+    from tests.util import PATCH, synthetic_videos
+    from titok_tpu.data.packing import pack_samples
+    from titok_tpu.data.prefetch import PrefetchLoader
+
+    def factory():
+        for i in range(5):
+            vids = synthetic_videos(np.random.default_rng(i), 2)
+            yield pack_samples(vids, [2, 3], seq_len=128, max_samples=4,
+                               patch_size=PATCH)
+
+    loader = PrefetchLoader(
+        factory, build_extras=lambda b: {"n": np.array(b.num_samples)},
+        group=2,
+    )
+    items = list(loader)
+    assert [len(b) for _, b, _ in items] == [2, 2, 1]
+    dev, batches, extras = items[0]
+    assert dev["patches"].shape == (2, 128, np.prod(PATCH) * 3)
+    assert extras["n"].shape == (2,)
+    tail_dev, tail_batches, _ = items[-1]
+    assert tail_dev["patches"].shape == (1, 128, np.prod(PATCH) * 3)
+
+
 def test_prefetch_loader_propagates_errors():
     from titok_tpu.data.prefetch import PrefetchLoader
 
