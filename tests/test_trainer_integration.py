@@ -159,3 +159,20 @@ def test_steps_per_call_matches_single_step(csv_file, tmp_path):
     steps = [d for d in os.listdir(cfg3.general.checkpoints.save_path)
              if d.isdigit()]
     assert steps
+
+
+def test_steps_per_call_vq_family(csv_file, tmp_path):
+    """EMA-VQ state (codebook/EMA stats/ages) threads through the scan
+    carry: a K=2 run trains, keeps a healthy codebook, and checkpoints."""
+    cfg = _cfg(csv_file, tmp_path / "vqk2")
+    cfg.set_dotted("tokenizer.model.quantizer", "vq")
+    cfg.set_dotted("tokenizer.model.vq", {"codebook_size": 32})
+    cfg.set_dotted("training.main.max_steps", 4)
+    cfg.set_dotted("training.main.steps_per_call", 2)
+    state = Trainer(cfg).fit()
+    assert int(state.step) == 4
+    assert np.all(np.isfinite(np.asarray(state.vq_state.codebook)))
+    lines = [json.loads(l) for l in
+             open(os.path.join(cfg.general.checkpoints.save_path,
+                               "metrics.jsonl"))]
+    assert any("train/gen/vq_perplexity" in l for l in lines)
