@@ -120,6 +120,11 @@ class DataParallelTrainer(Trainer):
             state = jax.device_get(state)
         return jax.device_put(state, replicated(self.mesh))
 
+    def _wrap_train_step(self, fn):
+        """Hook for subclasses to wrap the jitted step function — FSDP pins
+        the output state back onto its shardings here (parallel/fsdp.py)."""
+        return fn
+
     def _shard_stacked(self, tree):
         """device_put a ``[D, ...]``-stacked batch tree onto the mesh.
         Plain DP shards the leading axis only; DPCPTrainer overrides this
@@ -188,8 +193,12 @@ class DataParallelTrainer(Trainer):
         first = _StackedGroup(*next(group_iter), use_disc, use_perc)
         state = self._init_state_dp(first.stacked, first.disc, seed)
         self._install_preemption_save(lambda: state)
-        train_step = jax.jit(self.builder.make_train_step(self.lpips_params),
-                             donate_argnums=(0,))
+        train_step = jax.jit(
+            self._wrap_train_step(
+                self.builder.make_train_step(self.lpips_params)
+            ),
+            donate_argnums=(0,),
+        )
         self._eval_step = jax.jit(
             self.builder.make_eval_metrics_step(self.device_im)
         )

@@ -47,7 +47,15 @@ def main(argv):
     devices = int(config.training.main.get("train_devices", 1))
     cp_devices = int(config.training.main.get("cp_devices", 1))
     tp_devices = int(config.training.main.get("tp_devices", 1))
-    if cp_devices > 1 and tp_devices > 1:
+    fsdp = bool(config.training.main.get("fsdp", False))
+    if fsdp and (cp_devices > 1 or tp_devices > 1):
+        raise ValueError(
+            "training.main.fsdp composes with plain DP only "
+            "(cp_devices=tp_devices=1); TP/CP already shard the same bytes"
+        )
+    if fsdp and devices > 1:
+        from titok_tpu.parallel.fsdp import FSDPTrainer as TrainerCls
+    elif cp_devices > 1 and tp_devices > 1:
         # full 3-axis [data, seq, model] mesh (data may be 1-wide)
         from titok_tpu.parallel.dpcptp import DPCPTPTrainer as TrainerCls
     elif tp_devices > 1:  # pure TP = DPTPTrainer with a 1-wide data axis
