@@ -70,6 +70,9 @@ class DPCPTrainer(DataParallelTrainer):
     grouping, eval and checkpoints are the DP trainer's; only the mesh,
     module construction (cp_mesh threading) and batch placement differ."""
 
+    # the per-leaf [data, seq] batch specs don't carry the leading scan axis
+    supports_steps_per_call = False
+
     def __init__(self, config, batches_fn=None):
         super().__init__(config, batches_fn)
         from titok_tpu.losses.loss_module import LossSystem

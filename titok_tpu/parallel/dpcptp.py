@@ -84,6 +84,10 @@ class DPCPTPTrainer(DataParallelTrainer):
     padding (CP) and TP state placement are the union of the two 2-axis
     trainers (``DPCPTrainer`` / ``DPTPTrainer``)."""
 
+    # the per-leaf [data, seq(, model)] batch specs don't carry the
+    # leading scan axis
+    supports_steps_per_call = False
+
     def __init__(self, config, batches_fn=None):
         super().__init__(config, batches_fn)
         from titok_tpu.losses.loss_module import LossSystem

@@ -67,6 +67,11 @@ class DPTPTrainer(DataParallelTrainer):
     eval and checkpoints are the DP trainer's; only the mesh, module
     construction (tp_mesh threading) and state placement differ."""
 
+    # scan mode is validated for plain DP/FSDP only (the grouped
+    # [K, D, ...] sharding would likely compose, but is untested with the
+    # Megatron state specs)
+    supports_steps_per_call = False
+
     def __init__(self, config, batches_fn=None):
         super().__init__(config, batches_fn)
         from titok_tpu.losses.loss_module import LossSystem

@@ -120,11 +120,6 @@ class DataParallelTrainer(Trainer):
             state = jax.device_get(state)
         return jax.device_put(state, replicated(self.mesh))
 
-    def _wrap_train_step(self, fn):
-        """Hook for subclasses to wrap the jitted step function — FSDP pins
-        the output state back onto its shardings here (parallel/fsdp.py)."""
-        return fn
-
     def _shard_stacked(self, tree):
         """device_put a ``[D, ...]``-stacked batch tree onto the mesh.
         Plain DP shards the leading axis only; DPCPTrainer overrides this
@@ -172,15 +167,24 @@ class DataParallelTrainer(Trainer):
     def fit(self):
         cfg = self.config
         cm = cfg.training.main
-        if int(cm.get("steps_per_call", 1)) > 1:
-            raise ValueError(
-                "training.main.steps_per_call > 1 is only supported by the "
-                f"single-device trainer (this is {type(self).__name__})"
-            )
         max_steps = int(cm.max_steps)
         log_every = int(cfg.general.wandb.get("log_step_interval", 50))
         eval_every = int(cfg.training.eval.get("eval_step_interval", 1000))
         seed = int(cm.get("seed", 0))
+        K = int(cm.get("steps_per_call", 1))
+        if K > 1:
+            if not self.supports_steps_per_call:
+                raise ValueError(
+                    "training.main.steps_per_call > 1 is not supported by "
+                    f"{type(self).__name__} (its batch sharding has no "
+                    "leading scan axis)"
+                )
+            if self.n_procs > 1:
+                raise ValueError(
+                    "steps_per_call > 1 is not wired for multihost"
+                )
+            return self._fit_scan_dp(K, seed, max_steps, log_every,
+                                     eval_every)
 
         # init from the first group (host trees), then hand the whole
         # stream — first group included — to the prefetch thread so
@@ -265,6 +269,68 @@ class DataParallelTrainer(Trainer):
         self.ckpt.save(int(state.step), state)
         self.ckpt.wait()
         return state
+
+    def _fit_scan_dp(self, K: int, seed, max_steps, log_every, eval_every):
+        """``steps_per_call`` for the DP family: the prefetch thread stacks
+        K consecutive ``[D, ...]`` groups into one ``[K, D, ...]`` transfer
+        (leading scan axis, ``data``-sharded axis 1) and the generic
+        ``Trainer._fit_scan`` cadence loop drives the DP builder's scan
+        step. FSDP composes via the same ``_wrap_train_step`` pin."""
+        use_disc = self.loss_system.use_disc
+        use_perc = self.loss_system.use_perceptual
+        group_iter = self._stacked_batches(seed)
+        first = _StackedGroup(*next(group_iter), use_disc, use_perc)
+        state = self._init_state_dp(first.stacked, first.disc, seed)
+        self._eval_step = jax.jit(
+            self.builder.make_eval_metrics_step(self.device_im)
+        )
+
+        def factory():
+            yield first
+            for g, ge in group_iter:
+                yield _StackedGroup(g, ge, use_disc, use_perc)
+
+        self._scan_factory = factory
+        return self._fit_scan(state, K, seed, max_steps, log_every,
+                              eval_every)
+
+    def _run_validate(self, state, step_num: int):
+        self.validate_dp(state, step_num)
+
+    def _perf_scalars(self) -> dict:
+        return {"perf/devices": self.n_devices}
+
+    def _scan_codebook(self, indices, batches):
+        idx_host = jax.device_get(indices)  # [K, D, S]
+        for j, sg in enumerate(batches):
+            for d, b in enumerate(sg.group):
+                self.codebook_logger(unpack_indices(idx_host[j][d], b))
+
+    def _shard_grouped(self, tree):
+        """[K, D, ...]-stacked scan groups: scan axis replicated, stacked
+        axis on ``data``."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if tree is None:
+            return None
+        return jax.device_put(tree, NamedSharding(self.mesh, P(None, "data")))
+
+    def _make_scan_loader(self, seed, K: int):
+        use_disc = self.loss_system.use_disc
+        use_perc = self.loss_system.use_perceptual
+
+        def build_extras(sg):
+            extras = {}
+            if use_disc and sg.disc is not None:
+                extras["disc"] = sg.disc
+            if use_perc and sg.perc is not None:
+                extras["perc"] = sg.perc
+            return extras
+
+        return PrefetchLoader(
+            self._scan_factory, build_extras=build_extras,
+            sharding=self._shard_grouped, group=K,
+        )
 
     def validate_dp(self, state, step_num: int):
         """Mesh-parallel eval: batches grouped D at a time, sharded along

@@ -89,8 +89,9 @@ def select_data_backend(config):
 
 class Trainer:
     # training.main.steps_per_call (K steps per device dispatch) is
-    # implemented for the single-device loop; mesh trainers shard batches
-    # with per-leaf specs that don't carry the extra leading scan axis
+    # implemented for the single-device and plain-DP/FSDP loops; the
+    # CP-family trainers shard batches with per-leaf specs that don't
+    # carry the extra leading scan axis
     supports_steps_per_call = True
 
     def __init__(self, config, batches_fn=None):
@@ -249,8 +250,12 @@ class Trainer:
             return self._fit_scan(state, steps_per_call, seed, max_steps,
                                   log_every, eval_every)
         self._install_preemption_save(lambda: state)
-        train_step = jax.jit(self.builder.make_train_step(self.lpips_params),
-                             donate_argnums=(0,))
+        train_step = jax.jit(
+            self._wrap_train_step(
+                self.builder.make_train_step(self.lpips_params)
+            ),
+            donate_argnums=(0,),
+        )
 
         extras_rng = np.random.default_rng(seed + 1)
         loader = PrefetchLoader(
@@ -335,18 +340,14 @@ class Trainer:
         cfg = self.config
         self._install_preemption_save(lambda: state)
         scan_step = jax.jit(
-            self.builder.make_train_step_scan(self.lpips_params, K),
+            self._wrap_train_step(
+                self.builder.make_train_step_scan(self.lpips_params, K)
+            ),
             donate_argnums=(0,),
         )
         single_step = None  # lazily jitted, only for the unaligned tail
 
-        extras_rng = np.random.default_rng(seed + 1)
-        loader = PrefetchLoader(
-            lambda: self.batches_fn(self.config, eval=False, seed=seed),
-            build_extras=lambda b: self._build_extras(b, extras_rng),
-            sharding=getattr(self, "_loader_sharding", None),
-            group=K,
-        )
+        loader = self._make_scan_loader(seed, K)
 
         from titok_tpu.train_utils.profiling import StepTimer
 
@@ -378,7 +379,9 @@ class Trainer:
                 # stacked transfer, step through its first `take` slices
                 if single_step is None:
                     single_step = jax.jit(
-                        self.builder.make_train_step(self.lpips_params),
+                        self._wrap_train_step(
+                            self.builder.make_train_step(self.lpips_params)
+                        ),
                         donate_argnums=(0,),
                     )
                 ms, idxs = [], []
@@ -401,9 +404,7 @@ class Trainer:
             tokens_since += sum(b.seq_len for b in batches)
 
             if self.codebook_logger is not None:
-                idx_host = np.asarray(indices)
-                for j, b in enumerate(batches):
-                    self.codebook_logger(unpack_indices(idx_host[j], b))
+                self._scan_codebook(indices, batches)
 
             if crossed(log_every, start - 1, step_num - 1) or start == 0:
                 # log every window step that sits on the cadence (one fetch)
@@ -411,6 +412,7 @@ class Trainer:
                 perf = {"perf/tokens_per_sec":
                         tokens_since / max(time.time() - t_last, 1e-9)}
                 perf.update(timer.stats())
+                perf.update(self._perf_scalars())
                 t_last, tokens_since = time.time(), 0
                 for j in range(take):
                     if (start + j) % log_every:
@@ -424,7 +426,7 @@ class Trainer:
                     self.logger.log_console(scalars, start + j)
 
             if crossed(eval_every, start, step_num):
-                self.validate(state, step_num)
+                self._run_validate(state, step_num)
                 last_eval = step_num
             if crossed(save_every, start, step_num):
                 self.ckpt.save(step_num, state)
@@ -434,11 +436,38 @@ class Trainer:
                 self.ckpt.save_snapshot(int(host_state.step), host_state)
 
         if eval_every and step_num > 0 and step_num != last_eval:
-            self.validate(state, step_num)
+            self._run_validate(state, step_num)
         if last_saved != step_num:
             self.ckpt.save(int(state.step), state)
         self.ckpt.wait()
         return state
+
+    # ---- scan-mode hooks (overridden by the DP-family trainers) ---------
+
+    def _wrap_train_step(self, fn):
+        """Hook for subclasses to wrap the jitted step/scan function —
+        FSDP pins output-state shardings here (parallel/fsdp.py)."""
+        return fn
+
+    def _run_validate(self, state, step_num: int):
+        self.validate(state, step_num)
+
+    def _perf_scalars(self) -> dict:
+        return {}
+
+    def _scan_codebook(self, indices, batches):
+        idx_host = np.asarray(indices)
+        for j, b in enumerate(batches):
+            self.codebook_logger(unpack_indices(idx_host[j], b))
+
+    def _make_scan_loader(self, seed, K: int) -> PrefetchLoader:
+        extras_rng = np.random.default_rng(seed + 1)
+        return PrefetchLoader(
+            lambda: self.batches_fn(self.config, eval=False, seed=seed),
+            build_extras=lambda b: self._build_extras(b, extras_rng),
+            sharding=getattr(self, "_loader_sharding", None),
+            group=K,
+        )
 
     def _maybe_host_snapshot(self, state, step_num: int):
         """Bound the wedge data-loss window (VERDICT r2 weak #3): every
