@@ -278,3 +278,52 @@ def test_fused_rope_in_model(rng):
                                atol=2e-4, rtol=1e-3)
     np.testing.assert_array_equal(np.asarray(aux_f["indices"]),
                                   np.asarray(aux_ref["indices"]))
+
+
+def test_choose_blocks_scoped_vmem_cap():
+    """Large head counts shrink blocks to fit Mosaic's 16 MB scoped-vmem
+    stack (the bwd kernels keep one (bq, bk) f32 temporary per unrolled
+    head: 16 heads @ 512x512 overflowed on v5e, 12 heads compiled)."""
+    from titok_tpu.ops.flash_attention_mh import _choose_blocks
+
+    # known-good shapes keep the requested blocks
+    assert _choose_blocks(6144, 6144, 512, 512, 4) == (512, 512)
+    assert _choose_blocks(6144, 6144, 512, 512, 12) == (512, 512)
+    # large (16 q heads) must shrink below the measured overflow point
+    bq, bk = _choose_blocks(25088, 25088, 512, 512, 16)
+    assert 16 * bq * bk <= 12 * 512 * 512
+    assert bq >= 128 and bk >= 128
+    # small sequences still round blocks down to the array size
+    assert _choose_blocks(128, 128, 512, 512, 16) == (128, 128)
+
+
+def test_mh_large_head_count_matches_dense(rng):
+    """16 q heads with default 512 blocks exercises the scoped-vmem
+    shrink path end-to-end (fwd + grads vs dense reference)."""
+    from titok_tpu.ops.flash_attention_mh import flash_segment_attention_mh
+
+    q, k, v, seg = _inputs(rng, S=512, Hq=16, Hkv=4, segs=(300, 150, 62))
+    exp = np.asarray(segment_attention_reference(q, k, v, seg))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(flash_segment_attention_mh(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(seg)))
+    np.testing.assert_allclose(out, exp, atol=2e-5)
+
+    w = jnp.asarray(rng.normal(size=exp.shape).astype(np.float32))
+
+    def loss_mh(q, k, v):
+        o = flash_segment_attention_mh(q, k, v, jnp.asarray(seg))
+        return (o.astype(jnp.float32) * w).sum()
+
+    def loss_dense(q, k, v):
+        o = segment_attention_reference(q, k, v, jnp.asarray(seg))
+        return (o.astype(jnp.float32) * w).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss_mh, argnums=(0, 1, 2))(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    for a, b, name in zip(gf, gd, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3, err_msg=name)

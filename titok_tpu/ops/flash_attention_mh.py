@@ -798,6 +798,29 @@ def _mh_vjp_bwd(scale, block_q, block_k, hq, hkv, d, max_kv_blocks, res, g):
 _mh.defvjp(_mh_vjp_fwd, _mh_vjp_bwd)
 
 
+def _choose_blocks(S: int, Sk: int, block_q: int, block_k: int,
+                   hq: int) -> tuple[int, int]:
+    """Pick (bq, bk): requested sizes, rounded down to the sequence
+    lengths, then capped by the scoped-VMEM budget. The bwd kernels
+    unroll the head loop with one (bq, bk) f32 temporary alive per head,
+    and Mosaic's scoped-vmem stack is capped at 16 MB; measured on v5e,
+    12 heads @ 512x512 compiles while 16 heads @ 512x512 overflows by
+    2.8 MB ("Ran out of memory in memory space vmem ... on stack"). Cap
+    hq*bq*bk at the known-safe 12*512*512 elements, shrinking the larger
+    block first."""
+    def _pow2_block(n, b):
+        return min(b, max(8, 1 << (n - 1).bit_length()))
+
+    bq = _pow2_block(S, block_q)
+    bk = _pow2_block(Sk, block_k)
+    while hq * bq * bk > 12 * 512 * 512 and max(bq, bk) > 128:
+        if bq >= bk:
+            bq //= 2
+        else:
+            bk //= 2
+    return bq, bk
+
+
 def flash_segment_attention_mh(
     q: jnp.ndarray,  # [Sq, Hq, D]
     k: jnp.ndarray,  # [Sk, Hkv, D]
@@ -836,11 +859,7 @@ def flash_segment_attention_mh(
         widths = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, widths, constant_values=fill)
 
-    def _pow2_block(n, b):
-        return min(b, max(8, 1 << (n - 1).bit_length()))
-
-    bq = _pow2_block(S, block_q)
-    bk = _pow2_block(Sk, block_k)
+    bq, bk = _choose_blocks(S, Sk, block_q, block_k, Hq)
     Sp = -(-S // bq) * bq
     Skp = -(-Sk // bk) * bk
     big2 = 2**30 + 1
