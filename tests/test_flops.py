@@ -49,3 +49,24 @@ def test_train_step_flops_monotone_and_positive():
 def test_proj_flops_formula():
     # 2 * S * width * (patch_dim + out): one in-proj + one out-proj matmul
     assert proj_fwd_flops(256, 768, 5, 100) == 2.0 * 100 * 256 * 773
+
+
+def test_train_step_mem_matches_measured_oom_points():
+    """The HBM model must reproduce the two points measured on the relay
+    (2026-08-19): all-large @ seq 6144 OOMs a 15.75 GB v5e (compiler
+    reported 19.6 GB used); large tokenizer + base disc compiles and
+    trains."""
+    from tools.flops import V5E_HBM_BYTES, train_step_mem
+
+    all_large = train_step_mem("large", "large", 6144)
+    assert all_large.total * 1.1 > V5E_HBM_BYTES
+    # the model is an underestimate of the 19.6 GB measurement, but must
+    # land within ~20% of it
+    assert abs(all_large.total * 1.1 - 19.6 * 1024**3) < 0.2 * 19.6 * 1024**3
+
+    fits = train_step_mem("large", "base", 6144)
+    assert fits.total * 1.1 <= V5E_HBM_BYTES
+    assert fits.total < all_large.total
+
+    no_gan = train_step_mem("large", "base", 6144, use_gan=False)
+    assert no_gan.total < fits.total

@@ -39,6 +39,8 @@ from titok_tpu.models.blocks import MODEL_DIMS, get_model_dims
 
 # bf16 MXU peak of one TPU v5e chip (what bench.py runs on).
 V5E_PEAK_TFLOPS = 197.0
+# usable HBM reported by the relay's compiler ("Used ... of 15.75G hbm").
+V5E_HBM_BYTES = int(15.75 * 1024 ** 3)
 
 
 def _round32(x: float) -> int:
@@ -132,6 +134,49 @@ def train_step_flops(tok_size: str, disc_size: str, seq: int,
     return StepFlops(gen_fwd, gen_bwd, disc_fwd, disc_bwd)
 
 
+@dataclass
+class StepMem:
+    """Peak-HBM estimate of one GAN train step (bytes)."""
+    opt_state: int   # f32 master params + AdamW mu + nu
+    grads: int       # f32 grads for both towers (one-program step)
+    bf16_params: int  # compute-dtype weight copies
+    activations: int  # remat boundary activations (block inputs)
+
+    @property
+    def total(self) -> int:
+        return self.opt_state + self.grads + self.bf16_params + self.activations
+
+
+def train_step_mem(tok_size: str, disc_size: str, seq: int,
+                   use_gan: bool = True, mlp_ratio: float = 4.0) -> StepMem:
+    """Peak-HBM model for the bf16-mixed GAN step with remat.
+
+    Calibrated against the measured OOM of 2026-08-19: all-large
+    (tok+disc 24L/1024w) at seq 6144 needs 19.6 GB on a 15.75 GB v5e
+    (this model: ~18 GB — XLA temporaries/fragmentation add ~10%);
+    large tokenizer + base disc compiles and trains (model: ~13 GB).
+
+    - optimizer state: 12 B/param (f32 master + AdamW mu + nu),
+    - grads: 4 B/param for BOTH towers (the fused gen+disc program holds
+      both grad trees at some point),
+    - bf16 weight copies: 2 B/param,
+    - activations under remat: one [rows, width] bf16 residual per
+      checkpointed block — gen differentiates encoder+decoder over
+      ``seq`` rows each; the disc's packed pass differentiates 6*seq
+      stacked rows (losses/loss_module.py one-pass invariant).
+    """
+    td = StackDims.from_size(tok_size, mlp_ratio)
+    gen_params = 2 * stack_params(td)
+    disc_params = 0
+    act = 2 * td.layers * seq * td.width * 2
+    if use_gan:
+        dd = StackDims.from_size(disc_size, mlp_ratio)
+        disc_params = stack_params(dd)
+        act += dd.layers * 6 * seq * dd.width * 2
+    p = gen_params + disc_params
+    return StepMem(12 * p, 4 * p, 2 * p, act)
+
+
 def report(tok_size: str, disc_size: str, seq: int, avg_seg: int,
            step_ms: float | None, use_gan: bool, remat: bool = False) -> str:
     f = train_step_flops(tok_size, disc_size, seq, avg_seg=avg_seg,
@@ -152,6 +197,14 @@ def report(tok_size: str, disc_size: str, seq: int, avg_seg: int,
             f"  measured {step_ms:.1f} ms/step -> {tps:.1f} TFLOP/s "
             f"achieved, MFU {100.0 * tps / V5E_PEAK_TFLOPS:.1f}% of v5e peak "
             f"({V5E_PEAK_TFLOPS:.0f} bf16 TFLOP/s)")
+    m = train_step_mem(tok_size, disc_size, seq, use_gan)
+    gb = 1024.0 ** 3
+    fits = "fits" if m.total * 1.1 <= V5E_HBM_BYTES else "EXCEEDS"
+    lines.append(
+        f"  peak HBM ~{m.total / gb:.1f} GB (opt {m.opt_state / gb:.1f} + "
+        f"grads {m.grads / gb:.1f} + bf16 {m.bf16_params / gb:.1f} + "
+        f"act {m.activations / gb:.1f}; +~10% XLA temporaries) — "
+        f"{fits} one v5e ({V5E_HBM_BYTES / gb:.2f} GB)")
     return "\n".join(lines)
 
 
