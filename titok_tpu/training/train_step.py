@@ -67,13 +67,44 @@ class TrainStepBuilder:
             "cosine", warm, max_steps, lr * dlr, elr * dlr
         )
 
+        name = str(opt_c.get("name", "adamw")).lower()
+        af_mom = opt_c.get("adafactor_momentum", 0.9)
+
         def make(sched):
             parts = []
             if clip:
                 parts.append(optax.clip_by_global_norm(float(clip)))
-            parts.append(
-                optax.adamw(sched, b1=b1, b2=b2, weight_decay=wd, eps=1e-8)
-            )
+            if name == "adamw":
+                parts.append(
+                    optax.adamw(sched, b1=b1, b2=b2, weight_decay=wd,
+                                eps=1e-8)
+                )
+            elif name == "adafactor":
+                # Memory-efficient optimizer for large models: factored
+                # second moments (O(rows+cols) instead of O(rows*cols))
+                # plus optional bf16 momentum -> ~6 B/param of state vs
+                # AdamW's 12, which is what lets the all-large GAN recipe
+                # fit one v5e (tools/flops.py --optimizer adafactor).
+                # Composed from optax primitives so the decoupled weight
+                # decay keeps AdamW semantics (wd scaled by lr), unlike
+                # optax.adafactor's raw weight_decay_rate. The reference
+                # only ships AdamW (train.py:170-216); this is a TPU-
+                # memory extension, config-gated off by default.
+                parts.append(optax.scale_by_factored_rms())
+                parts.append(optax.clip_by_block_rms(1.0))
+                if af_mom:
+                    parts.append(
+                        optax.ema(float(af_mom), debias=False,
+                                  accumulator_dtype=jnp.bfloat16)
+                    )
+                if wd:
+                    parts.append(optax.add_decayed_weights(wd))
+                parts.append(optax.scale_by_learning_rate(sched))
+            else:
+                raise ValueError(
+                    f"optimizer.name={name!r}: expected 'adamw' or "
+                    "'adafactor'"
+                )
             return optax.chain(*parts)
 
         self.gen_tx = make(self.gen_sched)

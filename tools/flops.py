@@ -137,7 +137,7 @@ def train_step_flops(tok_size: str, disc_size: str, seq: int,
 @dataclass
 class StepMem:
     """Peak-HBM estimate of one GAN train step (bytes)."""
-    opt_state: int   # f32 master params + AdamW mu + nu
+    opt_state: int   # f32 master params + moments (OPT_BYTES_PER_PARAM)
     grads: int       # f32 grads for both towers (one-program step)
     bf16_params: int  # compute-dtype weight copies
     activations: int  # remat boundary activations (block inputs)
@@ -147,8 +147,18 @@ class StepMem:
         return self.opt_state + self.grads + self.bf16_params + self.activations
 
 
+OPT_BYTES_PER_PARAM = {
+    # f32 master + AdamW mu + nu
+    "adamw": 12,
+    # f32 master + bf16 momentum; factored v_row/v_col are O(rows+cols)
+    # and negligible (optimizer.name=adafactor, train_step.py)
+    "adafactor": 6,
+}
+
+
 def train_step_mem(tok_size: str, disc_size: str, seq: int,
-                   use_gan: bool = True, mlp_ratio: float = 4.0) -> StepMem:
+                   use_gan: bool = True, mlp_ratio: float = 4.0,
+                   optimizer: str = "adamw") -> StepMem:
     """Peak-HBM model for the bf16-mixed GAN step with remat.
 
     Calibrated against the measured OOM of 2026-08-19: all-large
@@ -156,7 +166,7 @@ def train_step_mem(tok_size: str, disc_size: str, seq: int,
     (this model: ~18 GB — XLA temporaries/fragmentation add ~10%);
     large tokenizer + base disc compiles and trains (model: ~13 GB).
 
-    - optimizer state: 12 B/param (f32 master + AdamW mu + nu),
+    - optimizer state: OPT_BYTES_PER_PARAM[optimizer],
     - grads: 4 B/param for BOTH towers (the fused gen+disc program holds
       both grad trees at some point),
     - bf16 weight copies: 2 B/param,
@@ -174,11 +184,12 @@ def train_step_mem(tok_size: str, disc_size: str, seq: int,
         disc_params = stack_params(dd)
         act += dd.layers * 6 * seq * dd.width * 2
     p = gen_params + disc_params
-    return StepMem(12 * p, 4 * p, 2 * p, act)
+    return StepMem(OPT_BYTES_PER_PARAM[optimizer] * p, 4 * p, 2 * p, act)
 
 
 def report(tok_size: str, disc_size: str, seq: int, avg_seg: int,
-           step_ms: float | None, use_gan: bool, remat: bool = False) -> str:
+           step_ms: float | None, use_gan: bool, remat: bool = False,
+           optimizer: str = "adamw") -> str:
     f = train_step_flops(tok_size, disc_size, seq, avg_seg=avg_seg,
                          use_gan=use_gan, remat=remat)
     d = StackDims.from_size(tok_size)
@@ -197,7 +208,8 @@ def report(tok_size: str, disc_size: str, seq: int, avg_seg: int,
             f"  measured {step_ms:.1f} ms/step -> {tps:.1f} TFLOP/s "
             f"achieved, MFU {100.0 * tps / V5E_PEAK_TFLOPS:.1f}% of v5e peak "
             f"({V5E_PEAK_TFLOPS:.0f} bf16 TFLOP/s)")
-    m = train_step_mem(tok_size, disc_size, seq, use_gan)
+    m = train_step_mem(tok_size, disc_size, seq, use_gan,
+                       optimizer=optimizer)
     gb = 1024.0 ** 3
     fits = "fits" if m.total * 1.1 <= V5E_HBM_BYTES else "EXCEEDS"
     lines.append(
@@ -221,12 +233,16 @@ def main() -> None:
     ap.add_argument("--no-gan", action="store_true")
     ap.add_argument("--remat", action="store_true",
                     help="count the recompute fwd of checkpointed backwards")
+    ap.add_argument("--optimizer", default="adamw",
+                    choices=sorted(OPT_BYTES_PER_PARAM),
+                    help="optimizer.name for the state-memory term")
     args = ap.parse_args()
     sizes = [args.size] if args.size else sorted(
         MODEL_DIMS, key=lambda s: MODEL_DIMS[s][0])
     for s in sizes:
         print(report(s, args.disc_size or s, args.seq, args.avg_seg,
-                     args.step_ms, not args.no_gan, args.remat))
+                     args.step_ms, not args.no_gan, args.remat,
+                     optimizer=args.optimizer))
 
 
 if __name__ == "__main__":

@@ -32,6 +32,30 @@ def _honor_platform_env():
 _honor_platform_env()
 
 
+def validate_parallel_config(config):
+    """Check mesh-shape / optimizer compatibility before building anything.
+    Returns ``(train_devices, cp_devices, tp_devices, fsdp)``."""
+    devices = int(config.training.main.get("train_devices", 1))
+    cp_devices = int(config.training.main.get("cp_devices", 1))
+    tp_devices = int(config.training.main.get("tp_devices", 1))
+    fsdp = bool(config.training.main.get("fsdp", False))
+    if fsdp and (cp_devices > 1 or tp_devices > 1):
+        raise ValueError(
+            "training.main.fsdp composes with plain DP only "
+            "(cp_devices=tp_devices=1); TP/CP already shard the same bytes"
+        )
+    opt_name = str(config.optimizer.get("name", "adamw")).lower()
+    if opt_name != "adamw" and tp_devices > 1:
+        # shard_state_tp places Megatron specs on optimizer moments by
+        # path+shape rules that assume AdamW's param-mirroring mu/nu;
+        # Adafactor's factored v_row/v_col state breaks that assumption
+        raise ValueError(
+            f"optimizer.name={opt_name!r} is not supported with "
+            "tp_devices > 1 (TP moment sharding assumes AdamW state)"
+        )
+    return devices, cp_devices, tp_devices, fsdp
+
+
 def main(argv):
     config = config_from_cli(argv)
     np.random.seed(int(config.training.main.get("seed", 0)))
@@ -44,15 +68,7 @@ def main(argv):
 
         multihost.initialize_from_config(config)
 
-    devices = int(config.training.main.get("train_devices", 1))
-    cp_devices = int(config.training.main.get("cp_devices", 1))
-    tp_devices = int(config.training.main.get("tp_devices", 1))
-    fsdp = bool(config.training.main.get("fsdp", False))
-    if fsdp and (cp_devices > 1 or tp_devices > 1):
-        raise ValueError(
-            "training.main.fsdp composes with plain DP only "
-            "(cp_devices=tp_devices=1); TP/CP already shard the same bytes"
-        )
+    devices, cp_devices, tp_devices, fsdp = validate_parallel_config(config)
     if fsdp and devices > 1:
         from titok_tpu.parallel.fsdp import FSDPTrainer as TrainerCls
     elif cp_devices > 1 and tp_devices > 1:
