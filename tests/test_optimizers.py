@@ -135,6 +135,80 @@ def test_unknown_optimizer_rejected(rng):
         builder.make_optimizers()
 
 
+def test_fsdp_adafactor_step_equals_dp_and_stays_sharded():
+    """FSDP composes with Adafactor (the max-memory-headroom pairing):
+    the shape-based sharding rule replicates the small factored v_row /
+    v_col vectors and shards the bf16 momentum alongside its parameter,
+    and the sharded step matches the replicated DP step."""
+    from tests.test_parallel import _batch
+    from titok_tpu.data.packing import build_disc_batch
+    from titok_tpu.parallel.fsdp import fsdp_shardings, shard_state_fsdp
+    from titok_tpu.parallel.mesh import make_mesh, shard_batch_tree
+    from titok_tpu.parallel.train_step import DPTrainStepBuilder
+
+    cfg = tiny_config(**{
+        "optimizer.name": "adafactor",
+        "tokenizer.losses.disc_weight": 0.4,
+    })
+    model = make_titok(cfg)
+    ls = LossSystem(cfg)
+
+    D = 4
+    mesh = make_mesh(D)
+    batches = [_batch(np.random.default_rng(i)) for i in range(D)]
+    discs = [build_disc_batch(b, ls.disc_tokens) for b in batches]
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs), *[b.device_arrays() for b in batches]
+    )
+    stacked_d = jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs), *[d.device_arrays() for d in discs]
+    )
+
+    dp = DPTrainStepBuilder(model, ls, cfg)
+    state = dp.init_state(jax.random.PRNGKey(0), stacked, stacked_d)
+    shardings = fsdp_shardings(state, mesh)
+    fsdp_state = shard_state_fsdp(state, mesh)
+
+    def _n_devices_of(arr):
+        return len({s.device.id for s in arr.addressable_shards})
+
+    # the bf16 momentum mirrors the params, so large ones must be split
+    n_split_opt = sum(
+        _n_devices_of(leaf) > 1
+        for leaf in jax.tree_util.tree_leaves(fsdp_state.gen_opt)
+        if hasattr(leaf, "addressable_shards")
+    )
+    assert n_split_opt > 0
+
+    fn = dp.make_train_step({})
+
+    def pinned(s, b, d, p):
+        ns, m, i = fn(s, b, d, p)
+        return jax.lax.with_sharding_constraint(ns, shardings), m, i
+
+    sharded_b = shard_batch_tree(stacked, mesh)
+    sharded_d = shard_batch_tree(stacked_d, mesh)
+    ref_state, _, ref_idx = jax.jit(fn, donate_argnums=())(
+        state, sharded_b, sharded_d, None
+    )
+    new_state, _, idx = jax.jit(pinned, donate_argnums=())(
+        fsdp_state, sharded_b, sharded_d, None
+    )
+
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.gen_params),
+                    jax.tree_util.tree_leaves(ref_state.gen_params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-5
+        )
+    for (path, leaf_in), leaf_out in zip(
+        jax.tree_util.tree_flatten_with_path(fsdp_state.gen_opt)[0],
+        jax.tree_util.tree_leaves(new_state.gen_opt),
+    ):
+        if hasattr(leaf_in, "addressable_shards") and _n_devices_of(leaf_in) > 1:
+            assert _n_devices_of(leaf_out) > 1, path
+
+
 def test_tp_gate_rejects_adafactor():
     from train import validate_parallel_config
 
