@@ -98,6 +98,28 @@ def main():
     assert indices.shape[0] == D
     print(f"MULTIHOST_OK pid={pid} loss={got:.6f}", flush=True)
 
+    # ---- FSDP leg: the SAME global step with the TrainState ZeRO-3-
+    # sharded over the global ``data`` axis — the parameter all-gathers
+    # and gradient reduce-scatters cross the process boundary (Gloo here,
+    # DCN on a pod). Loss must equal the replicated-DP step's. ------------
+    from titok_tpu.parallel.fsdp import fsdp_shardings
+
+    host_state = jax.device_get(state)
+    fsdp_sh = fsdp_shardings(host_state, mesh)
+    state_f = jax.tree_util.tree_map(
+        lambda leaf, sh: jax.device_put(leaf, sh), host_state, fsdp_sh
+    )
+    n_sharded = sum(
+        1 for leaf in jax.tree_util.tree_leaves(state_f)
+        if hasattr(leaf, "sharding") and not leaf.sharding.is_fully_replicated
+    )
+    assert n_sharded > 0, "FSDP placed nothing sharded"
+    _, metrics_f, _ = step(state_f, global_batch, None, None)
+    got_f = float(metrics_f["gen/total_loss"])
+    assert abs(got_f - expected) < 1e-5, (got_f, expected)
+    print(f"MULTIHOST_FSDP_OK pid={pid} sharded_leaves={n_sharded}",
+          flush=True)
+
     # ---- CP leg: ONE global packed batch sharded 4-way along 'seq'
     # ACROSS the two processes — the attention kv all-gather crosses the
     # process boundary (Gloo here; DCN on a real multi-host pod) ----------
@@ -188,6 +210,44 @@ def main():
         f.write(cfg2.to_yaml())
     train_cli.main([f"config={cfg_path}"])
     print(f"MULTIHOST_CLI_OK pid={pid}", flush=True)
+
+    # ---- FSDP CLI leg: production surface with training.main.fsdp=true —
+    # fit on a 2-process global mesh with cross-process-sharded state,
+    # checkpoint (orbax multiprocess sharded save), resume ----------------
+    cfg3 = tiny_config()
+    save_path3 = os.path.join(tmp, "ckpt_fsdp")
+    for k, v in (
+        ("dataset.train_dataset", "synthetic"),
+        ("dataset.eval_dataset", "synthetic"),
+        ("general.checkpoints.save_path", save_path3),
+        ("general.checkpoints.save_interval", 2),
+        ("training.main.max_steps", 3),
+        ("training.main.train_devices", 4),
+        ("training.main.fsdp", True),
+        ("training.main.multihost", True),
+        ("training.main.coordinator_address", f"localhost:{port}"),
+        ("training.main.num_processes", 2),
+        ("training.main.process_id", pid),
+        ("training.eval.eval_step_interval", 1000),
+        ("training.eval.eval_samples", 4),
+        ("training.eval.log_recon_num", 0),
+        ("training.eval.log_codebook", False),
+    ):
+        cfg3.set_dotted(k, v)
+    cfg3_path = os.path.join(tmp, f"cfg_fsdp_{pid}.yaml")
+    with open(cfg3_path, "w") as f:
+        f.write(cfg3.to_yaml())
+    train_cli.main([f"config={cfg3_path}"])
+    cfg3.set_dotted("training.main.max_steps", 5)
+    cfg3.set_dotted("general.checkpoints.resume_from_checkpoint", True)
+    with open(cfg3_path, "w") as f:
+        f.write(cfg3.to_yaml())
+    train_cli.main([f"config={cfg3_path}"])
+    if pid == 0:
+        lines = [json.loads(l)
+                 for l in open(os.path.join(save_path3, "metrics.jsonl"))]
+        assert any("train/gen/total_loss" in l for l in lines), lines
+    print(f"MULTIHOST_FSDP_CLI_OK pid={pid}", flush=True)
 
 
 if __name__ == "__main__":

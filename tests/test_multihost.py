@@ -44,6 +44,8 @@ def test_two_process_dp_step(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
         assert f"MULTIHOST_OK pid={pid}" in out, out[-3000:]
+        assert f"MULTIHOST_FSDP_OK pid={pid}" in out, out[-3000:]
         assert f"MULTIHOST_CP_OK pid={pid}" in out, out[-3000:]
         assert f"MULTIHOST_CLI_OK pid={pid}" in out, out[-3000:]
+        assert f"MULTIHOST_FSDP_CLI_OK pid={pid}" in out, out[-3000:]
         assert "resumed from step 3" in out, out[-3000:]

@@ -70,6 +70,8 @@ class DPCPTrainer(DataParallelTrainer):
     grouping, eval and checkpoints are the DP trainer's; only the mesh,
     module construction (cp_mesh threading) and batch placement differ."""
 
+    _multihost_ok = False  # seq/model axes not laid out across processes
+
     # the per-leaf [data, seq] batch specs don't carry the leading scan axis
     supports_steps_per_call = False
 

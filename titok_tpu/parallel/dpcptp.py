@@ -84,6 +84,8 @@ class DPCPTPTrainer(DataParallelTrainer):
     padding (CP) and TP state placement are the union of the two 2-axis
     trainers (``DPCPTrainer`` / ``DPTPTrainer``)."""
 
+    _multihost_ok = False  # seq/model axes not laid out across processes
+
     # the per-leaf [data, seq(, model)] batch specs don't carry the
     # leading scan axis
     supports_steps_per_call = False

@@ -67,6 +67,8 @@ class DPTPTrainer(DataParallelTrainer):
     eval and checkpoints are the DP trainer's; only the mesh, module
     construction (tp_mesh threading) and state placement differ."""
 
+    _multihost_ok = False  # seq/model axes not laid out across processes
+
     # scan mode is validated for plain DP/FSDP only (the grouped
     # [K, D, ...] sharding would likely compose, but is untested with the
     # Megatron state specs)

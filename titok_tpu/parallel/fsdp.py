@@ -14,6 +14,10 @@ Composition notes:
 - Plain-DP only (`training.main.fsdp: true` with ``train_devices > 1``);
   TP already shards params over ``model`` and CP shards activations — mixing
   FSDP in would re-shard the same bytes for no win at these model sizes.
+- Multi-host composes (``training.main.multihost: true``): the data axis —
+  and with it every FSDP state shard — spans all processes' chips, so the
+  parameter all-gathers and grad reduce-scatters ride DCN across hosts.
+  Exercised by ``tests/test_multihost.py`` (two OS processes over Gloo).
 - The train step is the unmodified DP step; the trainer pins the *output*
   state back to the FSDP shardings (``_wrap_train_step``) so the sharding
   survives the optimizer update regardless of what propagation infers, and
@@ -79,16 +83,22 @@ class FSDPTrainer(DataParallelTrainer):
 
     def __init__(self, config, batches_fn=None):
         super().__init__(config, batches_fn)
-        if self.n_procs > 1:
-            raise NotImplementedError(
-                "fsdp + multihost is not wired; run plain DP across hosts "
-                "or FSDP within one host"
-            )
         self._fsdp_shardings = None
 
     def _init_state_dp(self, stacked, stacked_disc, seed: int):
         state = super()._init_state_dp(stacked, stacked_disc, seed)
         self._fsdp_shardings = fsdp_shardings(state, self.mesh)
+        if self.n_procs > 1:
+            # multi-host: the replicated state super() placed is committed
+            # to the global mesh, and device_put can only re-place *host*
+            # inputs onto a sharding with non-addressable devices — drop to
+            # numpy first (replicated values are identical on every
+            # process, so each process contributes consistent shards).
+            # Checkpoint save/restore needs no special casing: orbax writes
+            # cross-process sharded jax.Arrays natively (the same
+            # multiprocess path the replicated DP state already exercises)
+            # and restore happens before placement, on host arrays.
+            state = jax.device_get(state)
         return jax.tree_util.tree_map(
             lambda leaf, sh: jax.device_put(leaf, sh),
             state, self._fsdp_shardings,

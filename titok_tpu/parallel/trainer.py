@@ -67,6 +67,13 @@ class _NullLogger:
 
 
 class DataParallelTrainer(Trainer):
+    # multi-host composition whitelist: plain DP and FSDP shard only the
+    # leading [data] batch axis and keep per-chip programs identical, so a
+    # global mesh Just Works; the CP/TP trainers would additionally need
+    # their seq/model axes laid out across processes (not wired — they set
+    # this False)
+    _multihost_ok = True
+
     def __init__(self, config, batches_fn=None):
         super().__init__(config, batches_fn)
         self.n_devices = int(config.training.main.get("train_devices", 1))
@@ -77,11 +84,11 @@ class DataParallelTrainer(Trainer):
         if self.n_procs > 1:
             from titok_tpu.parallel import multihost
 
-            if type(self) is not DataParallelTrainer:
+            if not getattr(type(self), "_multihost_ok", False):
                 raise NotImplementedError(
-                    "multihost is wired for plain DP only; shard the extra "
-                    "axes within one host (cp/tp_devices) or run DP across "
-                    "hosts"
+                    "multihost is wired for plain DP and FSDP only; shard "
+                    "the extra axes within one host (cp/tp_devices) or run "
+                    "DP/FSDP across hosts"
                 )
             assert self.n_devices % self.n_procs == 0, (
                 f"train_devices={self.n_devices} must be divisible by the "
