@@ -48,21 +48,35 @@ def _specs(tree):
 
 
 def export_model(module, params, vq_state, example_batch: dict,
-                 out_dir: str, platforms=None) -> None:
+                 out_dir: str, platforms=None, quant: str | None = None) -> None:
     """Serialize forward + decode_indices programs for ``module`` with
-    ``params`` (and ``vq_state``) embedded as constants."""
+    ``params`` (and ``vq_state``) embedded as constants. With ``quant``
+    (``w8a16``/``w8a8``) the baked weights are per-channel int8 — the
+    artifact shrinks ~4x (int8 vs f32 constants) and the programs run
+    int8 Dense layers
+    (``titok_tpu/serving/quant.py``)."""
     import jax
     from jax import export as jexport
 
     os.makedirs(out_dir, exist_ok=True)
     vqs = vq_state or None
 
+    if quant:
+        from titok_tpu.serving.quant import quantize_params, quantized_apply
+
+        params = quantize_params(params)
+
+        def _apply(variables, *args, **kw):
+            return quantized_apply(module, variables, *args, mode=quant, **kw)
+    else:
+        _apply = module.apply
+
     def forward(batch):
-        recon, aux = module.apply({"params": params}, batch, vqs)
+        recon, aux = _apply({"params": params}, batch, vqs)
         return recon, aux["indices"]
 
     def decode(indices, batch):
-        return module.apply(
+        return _apply(
             {"params": params}, indices, batch, vqs,
             method=module.decode_indices_packed,
         )
@@ -84,6 +98,7 @@ def export_model(module, params, vq_state, example_batch: dict,
         "in_channels": int(module.in_channels),
         "quantizer": str(module.quantizer),
         "platforms": list(platforms) if platforms else None,
+        "quant": quant,
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
@@ -117,19 +132,26 @@ def main() -> None:
     ap.add_argument("--check", action="store_true",
                     help="deserialize and compare against the live module "
                          "on a random batch")
+    ap.add_argument("--quant", choices=("w8a16", "w8a8"), default=None,
+                    help="bake per-channel int8 weights (weight-only or "
+                         "dynamic-activation int8 matmuls)")
     args = ap.parse_args()
 
     cfg, model = _load_model(args.config, args.ckpt, 0)
     example = model._dummy_batch()
     platforms = args.platforms.split(",") if args.platforms else None
     export_model(model.module, model.params, model.vq_state, example,
-                 args.out, platforms=platforms)
+                 args.out, platforms=platforms, quant=args.quant)
     sizes = {n: os.path.getsize(os.path.join(args.out, n))
              for n in ("forward.jaxexp", "decode.jaxexp")}
     print(f"exported to {args.out}: " + ", ".join(
         f"{n} ({s/1e6:.1f} MB)" for n, s in sizes.items()))
 
     if args.check:
+        if args.quant:
+            from titok_tpu.serving.quant import quantize_model
+
+            model = quantize_model(model, mode=args.quant)
         fwd, dec, _ = load_exported(args.out)
         recon, idx = fwd(example)
         ref_recon, ref_aux = model._jit_forward(

@@ -110,6 +110,7 @@ def _read_clip(path: str, cfg):
 
 def encode_cmd(args):
     cfg, model = _load_model(args.config, args.ckpt, args.tokens)
+    model = _maybe_quantize(model, args)
     os.makedirs(args.out, exist_ok=True)
     for path in args.inputs:
         vid, fps = _read_clip(path, cfg)
@@ -124,6 +125,7 @@ def decode_cmd(args):
     from titok_tpu.data.video_reader import encode_video
 
     cfg, model = _load_model(args.config, args.ckpt, 0)
+    model = _maybe_quantize(model, args)
     os.makedirs(args.out, exist_ok=True)
     for path in args.inputs:
         data = np.load(path)
@@ -138,6 +140,16 @@ def decode_cmd(args):
         print(f"{path} -> {out}")
 
 
+def _maybe_quantize(model, args):
+    """Serve with per-channel int8 Dense layers (weight-only w8a16 or
+    dynamic-activation w8a8, titok_tpu/serving/quant.py)."""
+    if getattr(args, "quant", None):
+        from titok_tpu.serving.quant import quantize_model
+
+        model = quantize_model(model, mode=args.quant)
+    return model
+
+
 def main():
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -147,6 +159,8 @@ def main():
         p.add_argument("--config", required=True)
         p.add_argument("--ckpt", default=None)
         p.add_argument("--out", required=True)
+        p.add_argument("--quant", choices=("w8a16", "w8a8"), default=None,
+                       help="int8-quantize the Dense layers for serving")
         if name == "encode":
             p.add_argument("--tokens", type=int, default=64,
                            help="latent tokens per clip")
