@@ -92,8 +92,14 @@ def export_model(module, params, vq_state, example_batch: dict,
         f.write(exp_fwd.serialize())
     with open(os.path.join(out_dir, "decode.jaxexp"), "wb") as f:
         f.write(exp_dec.serialize())
+    from titok_tpu.models.blocks import HEAD_DIM
+
     meta = {
         "seq_len": int(example_batch["segment_ids"].shape[0]),
+        # the exported programs have these shapes BAKED; a serving host
+        # must pack with exactly this max_samples/head_dim (tools/serve.py)
+        "max_samples": int(example_batch["token_counts"].shape[0]),
+        "head_dim": int(HEAD_DIM),
         "patch_size": list(module.patch_size),
         "in_channels": int(module.in_channels),
         "quantizer": str(module.quantizer),
