@@ -20,7 +20,8 @@ BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
 
 
-def build_bench(seq_len=6144, clip=(8, 128, 128), token_count=64, iters=20):
+def build_bench(seq_len=6144, clip=(8, 128, 128), token_count=64, iters=20,
+                quant=None):
     """tiny.yaml-shaped workload: 128² 8-frame clips, ~64 latent tokens.
 
     The timed function runs ``iters`` forwards inside one jitted
@@ -29,6 +30,9 @@ def build_bench(seq_len=6144, clip=(8, 128, 128), token_count=64, iters=20):
     tunneled axon backend ``block_until_ready`` returns before execution
     completes, so per-call host timing lies; the on-device chain amortizes
     the RTT to nothing and forces real completion via the scalar fetch.
+
+    ``quant`` (``w8a16``/``w8a8``) runs the int8 serving path
+    (``titok_tpu/serving/quant.py``) on the same workload.
     """
     import jax
     import jax.numpy as jnp
@@ -49,6 +53,16 @@ def build_bench(seq_len=6144, clip=(8, 128, 128), token_count=64, iters=20):
                          max_samples=max(n, 1), patch_size=patch)
     arrs = jax.device_put(batch.device_arrays())
     params = model.init(jax.random.PRNGKey(0), arrs)["params"]
+    if quant:
+        from titok_tpu.serving.quant import quantize_params, quantized_apply
+
+        params = jax.device_put(quantize_params(params))
+
+        def apply_fn(p, a):
+            return quantized_apply(model, {"params": p}, a, mode=quant)
+    else:
+        def apply_fn(p, a):
+            return model.apply({"params": p}, a)
 
     @jax.jit
     def chained(params, arrs):
@@ -59,7 +73,7 @@ def build_bench(seq_len=6144, clip=(8, 128, 128), token_count=64, iters=20):
             a["patches"] = arrs["patches"] + (carry * 1e-30).astype(
                 arrs["patches"].dtype
             )
-            recon, aux = model.apply({"params": params}, a)
+            recon, aux = apply_fn(params, a)
             return recon.astype(jnp.float32).sum(), aux["indices"][0]
 
         final, idx = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
@@ -477,6 +491,42 @@ def main():
         try:
             results = bench_train()
             json.dump(results, open(TRAIN_LAST_PATH, "w"))
+        finally:
+            t.cancel()
+
+    # int8 serving forward (stderr; same workload with w8a8 Dense layers —
+    # serving-path evidence, not the headline metric)
+    if os.environ.get("TITOK_BENCH_INT8", "1") != "0":
+        import sys
+        import threading
+
+        def int8_fallback():
+            print(json.dumps({"metric": "int8 serving forward", "value": 0.0,
+                              "note": "relay unreachable during int8 bench"}),
+                  file=sys.stderr, flush=True)
+            os._exit(0)
+
+        t = threading.Timer(WATCHDOG_S, int8_fallback)
+        t.daemon = True
+        t.start()
+        try:
+            qfn, qparams, qarrs, qn = build_bench(iters=iters, quant="w8a8")
+            _ = np.asarray(qfn(qparams, qarrs)[0])  # compile + warm
+            tq = time.perf_counter()
+            _ = np.asarray(qfn(qparams, qarrs)[0])
+            dq = time.perf_counter() - tq
+            line = {
+                "metric": "clips/sec/chip encode+decode int8-w8a8 serving "
+                          "(tiny cfg, 8x128^2 clips, seq 6144)",
+                "value": round(qn * iters / dq, 3),
+                "unit": "clips/sec/chip",
+                "vs_bf16_forward": round((qn * iters / dq) / clips_per_sec, 4),
+            }
+            print(json.dumps(line), file=sys.stderr, flush=True)
+        except Exception as e:  # never fail the bench over the int8 line
+            print(json.dumps({"metric": "int8 serving forward", "value": 0.0,
+                              "note": f"failed: {e}"}), file=sys.stderr,
+                  flush=True)
         finally:
             t.cancel()
 
