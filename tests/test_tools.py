@@ -312,6 +312,24 @@ def test_evaluate_cli(tmp_path, video_dir):
     # recon video written by the offline eval too
     assert os.listdir(tmp_path / "out" / "eval" / "videos")
 
+    # int8 serving-path eval (--quant): psnr within noise of the f32 eval
+    r = subprocess.run(
+        [sys.executable, "tools/evaluate.py", f"config={cfgpath}",
+         "--ckpt", str(tmp_path / "out" / "2"),
+         "--out", str(tmp_path / "qeval"), "--quant", "w8a8"],
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=480,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    qlines = [json.loads(l) for l in
+              open(tmp_path / "qeval" / "metrics.jsonl")]
+    ref = next(l["eval/psnr"] for l in lines if "eval/psnr" in l)
+    got = next(l["eval/psnr"] for l in qlines if "eval/psnr" in l)
+    # on a 2-step-trained model FSQ bin flips dominate the delta (measured
+    # int8 scoring 0.7 dB ABOVE f32 here); the bound only catches plumbing
+    # breakage (wrong scales score ~5 dB). Numeric closeness is pinned by
+    # test_quant.py on matched indices.
+    assert abs(got - ref) < 1.5, (got, ref)
+
 
 def test_supervisor_resumes_on_first_launch_over_existing_run(tmp_path):
     """A supervisor (re)started over a run dir that already has checkpoints

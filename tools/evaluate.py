@@ -74,7 +74,7 @@ def main(argv: list[str]) -> None:
     flags, cfg_args = [], []
     it = iter(argv)
     for a in it:
-        if a in ("--ckpt", "--out", "--steps"):
+        if a in ("--ckpt", "--out", "--steps", "--quant"):
             flags += [a, next(it)]
         else:
             cfg_args.append(a)
@@ -86,6 +86,11 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--steps", default="latest",
                     help="'latest' (default), 'all', or a step number — "
                          "for run-dir --ckpt")
+    ap.add_argument("--quant", choices=("w8a16", "w8a8"), default=None,
+                    help="score the int8 serving path: quantize the "
+                         "restored generator (titok_tpu/serving/quant.py) "
+                         "and run the eval epoch through it — the quality "
+                         "cost of int8 on a real checkpoint")
     args = ap.parse_args(flags)
 
     from titok_tpu.config import config_from_cli
@@ -120,7 +125,22 @@ def main(argv: list[str]) -> None:
     )
     for step, ckpt_dir in ckpts:
         state = restore_weights_only(ckpt_dir, state)
-        trainer.validate(state, step)
+        if args.quant:
+            # jit-tracing of the eval step happens inside the interceptor
+            # context, so the compiled program runs int8 Dense layers over
+            # the quantized tree
+            import flax.linen as nn
+
+            from titok_tpu.serving.quant import (
+                make_interceptor,
+                quantize_params,
+            )
+
+            qstate = state.replace(gen_params=quantize_params(state.gen_params))
+            with nn.intercept_methods(make_interceptor(args.quant)):
+                trainer.validate(qstate, step)
+        else:
+            trainer.validate(state, step)
 
 
 if __name__ == "__main__":
