@@ -150,3 +150,39 @@ def test_dpcp_trainer_fit_synthetic(tmp_path):
     assert np.isfinite(merged["train/gen/total_loss"])
     assert np.isfinite(merged["train/disc/total_loss"])
     assert np.isfinite(merged["eval/psnr"])
+
+
+def test_dpcp_steps_per_call_matches_k1(tmp_path):
+    """DPCP scan mode (steps_per_call=2 on a 2x2 mesh, tail of 1): same
+    trajectory as the one-step loop on the same deterministic synthetic
+    stream — the grouped [K, D, S] batches shard along data AND seq."""
+    from titok_tpu.parallel.dpcp import DPCPTrainer
+
+    def run(out, k):
+        cfg = tiny_config(**{
+            "dataset.train_dataset": "synthetic",
+            "dataset.eval_dataset": "synthetic",
+            "tokenizer.losses.disc_weight": 0.4,
+            "training.sampling.train_seq_len": 256,
+            "training.sampling.eval_seq_len": 256,
+            "training.main.train_devices": 2,
+            "training.main.cp_devices": 2,
+            "training.main.max_steps": 3,
+            "training.main.steps_per_call": k,
+            "training.eval.eval_step_interval": 100,
+            "training.eval.eval_samples": 2,
+            "training.eval.log_recon_num": 0,
+        })
+        cfg.set_dotted("general.checkpoints.save_path", str(out))
+        cfg.set_dotted("general.checkpoints.save_interval", 10)
+        return DPCPTrainer(cfg).fit()
+
+    s1 = run(tmp_path / "k1", 1)
+    s2 = run(tmp_path / "k2", 2)
+    assert int(s1.step) == int(s2.step) == 3
+    for a, b in zip(jax.tree_util.tree_leaves(s1.gen_params),
+                    jax.tree_util.tree_leaves(s2.gen_params)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        assert float(np.linalg.norm(a - b)) / max(
+            float(np.linalg.norm(a)), 1e-6) < 5e-3

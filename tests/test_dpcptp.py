@@ -155,3 +155,38 @@ def test_dpcptp_trainer_fit_synthetic(tmp_path):
     assert np.isfinite(merged["train/gen/total_loss"])
     assert np.isfinite(merged["train/disc/total_loss"])
     assert np.isfinite(merged["eval/psnr"])
+
+
+def test_dpcptp_steps_per_call_runs(tmp_path):
+    """3-axis scan mode: steps_per_call=2 over the 2x2x2 mesh compiles and
+    advances (grouped batches shard data x seq, replicate over model;
+    TP-sharded state threads through the lax.scan carry)."""
+    from titok_tpu.parallel.dpcptp import DPCPTPTrainer
+
+    cfg = tiny_config(**{
+        "dataset.train_dataset": "synthetic",
+        "dataset.eval_dataset": "synthetic",
+        "tokenizer.losses.disc_weight": 0.4,
+        "training.sampling.train_seq_len": 256,
+        "training.sampling.eval_seq_len": 256,
+        "training.main.train_devices": 2,
+        "training.main.cp_devices": 2,
+        "training.main.tp_devices": 2,
+        "training.main.max_steps": 2,
+        "training.main.steps_per_call": 2,
+        "training.eval.eval_step_interval": 100,
+        "training.eval.eval_samples": 2,
+        "training.eval.log_recon_num": 0,
+    })
+    cfg.set_dotted("general.checkpoints.save_path", str(tmp_path))
+    cfg.set_dotted("general.checkpoints.save_interval", 10)
+    state = DPCPTPTrainer(cfg).fit()
+    assert int(state.step) == 2
+    import json, os
+    lines = [json.loads(l) for l in
+             open(os.path.join(str(tmp_path), "metrics.jsonl"))]
+    merged = {}
+    for l in lines:
+        merged.update(l)
+    assert np.isfinite(merged["train/gen/total_loss"])
+    assert np.isfinite(merged["train/disc/total_loss"])

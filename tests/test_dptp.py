@@ -144,3 +144,28 @@ def test_dptp_trainer_fit_synthetic(tmp_path):
     assert np.isfinite(merged["train/gen/total_loss"])
     assert np.isfinite(merged["train/disc/total_loss"])
     assert np.isfinite(merged["eval/psnr"])
+
+
+def test_dptp_steps_per_call_runs(tmp_path):
+    """DPxTP scan mode: grouped [K, D, ...] batches (replicated over
+    model) drive the Megatron-sharded state through the scan carry."""
+    from titok_tpu.parallel.dptp import DPTPTrainer
+
+    cfg = tiny_config(**{
+        "dataset.train_dataset": "synthetic",
+        "dataset.eval_dataset": "synthetic",
+        "tokenizer.losses.disc_weight": 0.4,
+        "training.sampling.train_seq_len": 256,
+        "training.sampling.eval_seq_len": 256,
+        "training.main.train_devices": 2,
+        "training.main.tp_devices": 2,
+        "training.main.max_steps": 2,
+        "training.main.steps_per_call": 2,
+        "training.eval.eval_step_interval": 100,
+        "training.eval.eval_samples": 2,
+        "training.eval.log_recon_num": 0,
+    })
+    cfg.set_dotted("general.checkpoints.save_path", str(tmp_path))
+    cfg.set_dotted("general.checkpoints.save_interval", 10)
+    state = DPTPTrainer(cfg).fit()
+    assert int(state.step) == 2

@@ -72,9 +72,6 @@ class DPCPTrainer(DataParallelTrainer):
 
     _multihost_ok = False  # seq/model axes not laid out across processes
 
-    # the per-leaf [data, seq] batch specs don't carry the leading scan axis
-    supports_steps_per_call = False
-
     def __init__(self, config, batches_fn=None):
         super().__init__(config, batches_fn)
         from titok_tpu.losses.loss_module import LossSystem
@@ -123,3 +120,13 @@ class DPCPTrainer(DataParallelTrainer):
         if tree is None:
             return None
         return shard_stacked_dpcp(tree, self.mesh)
+
+    def _shard_grouped(self, tree):
+        """[K, D, S, ...] scan groups (``steps_per_call``): scan axis
+        replicated, stacked axis on ``data``, packed axes on ``seq``."""
+        if tree is None:
+            return None
+        both = NamedSharding(self.mesh, P(None, "data", "seq"))
+        data = NamedSharding(self.mesh, P(None, "data"))
+        return {k: jax.device_put(v, both if k in _SEQ_KEYS else data)
+                for k, v in tree.items()}

@@ -86,10 +86,6 @@ class DPCPTPTrainer(DataParallelTrainer):
 
     _multihost_ok = False  # seq/model axes not laid out across processes
 
-    # the per-leaf [data, seq(, model)] batch specs don't carry the
-    # leading scan axis
-    supports_steps_per_call = False
-
     def __init__(self, config, batches_fn=None):
         super().__init__(config, batches_fn)
         from titok_tpu.losses.loss_module import LossSystem
@@ -140,6 +136,17 @@ class DPCPTPTrainer(DataParallelTrainer):
         if tree is None:
             return None
         return shard_stacked_dpcptp(tree, self.mesh)
+
+    def _shard_grouped(self, tree):
+        """[K, D, S, ...] scan groups (``steps_per_call``): scan axis
+        replicated, stacked axis on ``data``, packed axes on ``seq``,
+        everything replicated over ``model``."""
+        if tree is None:
+            return None
+        both = NamedSharding(self.mesh, P(None, "data", "seq"))
+        data = NamedSharding(self.mesh, P(None, "data"))
+        return {k: jax.device_put(v, both if k in _SEQ_KEYS else data)
+                for k, v in tree.items()}
 
     def _init_state_dp(self, stacked, stacked_disc, seed: int):
         state = super()._init_state_dp(stacked, stacked_disc, seed)

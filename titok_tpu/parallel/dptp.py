@@ -69,11 +69,6 @@ class DPTPTrainer(DataParallelTrainer):
 
     _multihost_ok = False  # seq/model axes not laid out across processes
 
-    # scan mode is validated for plain DP/FSDP only (the grouped
-    # [K, D, ...] sharding would likely compose, but is untested with the
-    # Megatron state specs)
-    supports_steps_per_call = False
-
     def __init__(self, config, batches_fn=None):
         super().__init__(config, batches_fn)
         from titok_tpu.losses.loss_module import LossSystem
