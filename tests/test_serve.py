@@ -68,6 +68,43 @@ def test_encode_decode_matches_model(served):
     assert fwd["video"].shape == ref_vid.shape
 
 
+def test_batched_serving_matches_single(served, tmp_path_factory):
+    """window_ms > 0: concurrent requests pack into shared device calls —
+    same results as single-clip serving, strictly fewer device calls."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tools.export_model import export_model
+    from tools.serve import make_server
+
+    model, _ = served
+    art = str(tmp_path_factory.mktemp("art_batch"))
+    export_model(model.module, model.params, model.vq_state,
+                 model._dummy_batch(), art)
+    server = make_server(art, port=0, window_ms=400)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        rng = np.random.default_rng(2)
+        vids = [(rng.random((3, 4, 16, 16), np.float32) * 2 - 1)
+                for _ in range(4)]
+        # warm the program so batched requests land inside one window
+        _post(base + "/encode", video=vids[0], tokens=4)
+        calls_before = server.service.device_calls
+
+        with ThreadPoolExecutor(4) as ex:
+            outs = list(ex.map(
+                lambda v: _post(base + "/encode", video=v, tokens=4), vids
+            ))
+        calls = server.service.device_calls - calls_before
+        assert calls < 4, f"no batching happened ({calls} calls for 4 reqs)"
+        ref = model.encode(vids, [4] * 4)
+        for out, r in zip(outs, ref):
+            np.testing.assert_array_equal(out["indices"], r)
+    finally:
+        server.shutdown()
+
+
 def test_client_errors_are_400(served):
     _, base = served
     rng = np.random.default_rng(1)

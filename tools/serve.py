@@ -84,8 +84,10 @@ class TokenizerService:
                 "current tools/export_model.py"
             )
         self._lock = threading.Lock()
+        self.device_calls = 0  # forwards + decodes actually dispatched
 
-    def _pack(self, video: np.ndarray, tokens: int):
+    def _cost(self, video: np.ndarray, tokens: int) -> int:
+        """Budget slots this clip needs; raises on an unservable clip."""
         m = self.meta
         ps = list(m["patch_size"])
         dims = video.shape[1:]
@@ -96,40 +98,151 @@ class TokenizerService:
             raise ValueError(
                 f"clip needs {cost} slots > exported budget {m['seq_len']}"
             )
+        return cost
+
+    def _pack_group(self, videos, tokens):
+        m = self.meta
         return pack_samples(
-            [np.asarray(video, np.float32)], [int(tokens)],
+            [np.asarray(v, np.float32) for v in videos],
+            [int(t) for t in tokens],
             seq_len=m["seq_len"], max_samples=m["max_samples"],
-            patch_size=ps, head_dim=m["head_dim"],
+            patch_size=list(m["patch_size"]), head_dim=m["head_dim"],
         )
 
-    def encode_clip(self, video: np.ndarray, tokens: int) -> np.ndarray:
-        batch = self._pack(video, tokens)
+    # -- grouped execution (one device call for N clips) -------------------
+    def forward_group(self, videos, tokens):
+        """[(recon, indices)] for up to a budget's worth of clips."""
+        for v, t in zip(videos, tokens):
+            self._cost(v, t)
+        batch = self._pack_group(videos, tokens)
         with self._lock:
-            _, idx = self.forward(batch.device_arrays())
-        return unpack_indices(np.asarray(idx), batch)[0]
-
-    def forward_clip(self, video: np.ndarray, tokens: int):
-        batch = self._pack(video, tokens)
-        with self._lock:
+            self.device_calls += 1
             recon, idx = self.forward(batch.device_arrays())
         ps = list(self.meta["patch_size"])
-        return (
-            unpack_videos(np.asarray(recon, np.float32), batch, ps)[0],
-            unpack_indices(np.asarray(idx), batch)[0],
-        )
+        vids = unpack_videos(np.asarray(recon, np.float32), batch, ps)
+        idxs = unpack_indices(np.asarray(idx), batch)
+        return list(zip(vids[: len(videos)], idxs[: len(videos)]))
+
+    def decode_group(self, indices_list, grids):
+        """[video] for up to a budget's worth of (indices, grid) pairs."""
+        m = self.meta
+        dummies = [
+            np.zeros([m["in_channels"]] + [int(g) for g in grid], np.float32)
+            for grid in grids
+        ]
+        for d, ix in zip(dummies, indices_list):
+            self._cost(d, len(ix))
+        batch = self._pack_group(dummies, [len(ix) for ix in indices_list])
+        offs = sample_offsets(batch.token_counts, batch.grid_sizes)
+        flat = np.zeros((batch.seq_len,), np.int32)
+        for j, ix in enumerate(indices_list):
+            flat[offs[j] : offs[j] + len(ix)] = np.asarray(ix, np.int32)
+        with self._lock:
+            self.device_calls += 1
+            recon = self.decode(flat, batch.device_arrays())
+        ps = list(m["patch_size"])
+        return unpack_videos(np.asarray(recon, np.float32), batch,
+                             ps)[: len(grids)]
+
+    # -- single-clip API ----------------------------------------------------
+    def encode_clip(self, video: np.ndarray, tokens: int) -> np.ndarray:
+        return self.forward_group([video], [tokens])[0][1]
+
+    def forward_clip(self, video: np.ndarray, tokens: int):
+        return self.forward_group([video], [tokens])[0]
 
     def decode_clip(self, indices: np.ndarray, grid) -> np.ndarray:
+        return self.decode_group([indices], [grid])[0]
+
+
+class BatchingTokenizerService(TokenizerService):
+    """Cross-request batching: requests arriving within ``window_ms`` of
+    each other are packed into ONE budget-sized device call (the packed
+    layout exists exactly for this — N variable-shape clips, one program).
+    Throughput scales with clips-per-budget; per-request latency pays at
+    most the window plus the shared forward."""
+
+    def __init__(self, artifacts_dir: str, window_ms: float = 0.0):
+        super().__init__(artifacts_dir)
+        import queue
+
+        self.window_s = float(window_ms) / 1000.0
+        self._queue: "queue.Queue" = queue.Queue()
+        self._holdover = None  # item that didn't fit the last group
+        t = threading.Thread(target=self._dispatch_loop, daemon=True)
+        t.start()
+
+    # public API: validate in the request thread, then enqueue and wait
+    def _submit(self, op: str, payload, cost: int):
+        done = threading.Event()
+        slot: dict = {}
+        self._queue.put((op, payload, cost, done, slot))
+        done.wait()
+        if "err" in slot:
+            raise slot["err"]
+        return slot["out"]
+
+    def encode_clip(self, video, tokens):
+        cost = self._cost(video, tokens)
+        return self._submit("fwd", (video, tokens), cost)[1]
+
+    def forward_clip(self, video, tokens):
+        cost = self._cost(video, tokens)
+        return self._submit("fwd", (video, tokens), cost)
+
+    def decode_clip(self, indices, grid):
         m = self.meta
         dummy = np.zeros([m["in_channels"]] + [int(g) for g in grid],
                          np.float32)
-        batch = self._pack(dummy, len(indices))
-        offs = sample_offsets(batch.token_counts, batch.grid_sizes)
-        flat = np.zeros((batch.seq_len,), np.int32)
-        flat[offs[0] : offs[0] + len(indices)] = np.asarray(indices, np.int32)
-        with self._lock:
-            recon = self.decode(flat, batch.device_arrays())
-        ps = list(m["patch_size"])
-        return unpack_videos(np.asarray(recon, np.float32), batch, ps)[0]
+        cost = self._cost(dummy, len(indices))
+        return self._submit("dec", (indices, grid), cost)
+
+    def _gather_group(self):
+        """Block for one item, then collect same-op items arriving within
+        the window while the group fits the budget."""
+        import queue
+        import time as _time
+
+        first = self._holdover or self._queue.get()
+        self._holdover = None
+        op = first[0]
+        group = [first]
+        used = first[2]
+        deadline = _time.time() + self.window_s
+        while (len(group) < self.meta["max_samples"]):
+            remaining = deadline - _time.time()
+            if remaining <= 0:
+                break
+            try:
+                item = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if item[0] != op or used + item[2] > self.meta["seq_len"]:
+                self._holdover = item  # starts the next group
+                break
+            group.append(item)
+            used += item[2]
+        return op, group
+
+    def _dispatch_loop(self):
+        while True:
+            op, group = self._gather_group()
+            try:
+                if op == "fwd":
+                    outs = self.forward_group(
+                        [g[1][0] for g in group], [g[1][1] for g in group]
+                    )
+                else:
+                    outs = self.decode_group(
+                        [g[1][0] for g in group], [g[1][1] for g in group]
+                    )
+                for (_, _, _, done, slot), out in zip(group, outs):
+                    slot["out"] = out
+                    done.set()
+            except Exception as e:
+                for _, _, _, done, slot in group:
+                    slot["err"] = e
+                    done.set()
 
 
 def _npz(body: bytes) -> dict:
@@ -142,13 +255,18 @@ def _npz_bytes(**arrays) -> bytes:
     return buf.getvalue()
 
 
-def make_server(artifacts_dir: str, port: int = 0):
+def make_server(artifacts_dir: str, port: int = 0, window_ms: float = 0.0):
     """Build (but don't start) the HTTP server; returns it with
     ``.service`` attached. ``port=0`` picks a free port
-    (``server.server_address[1]``)."""
+    (``server.server_address[1]``). ``window_ms > 0`` batches concurrent
+    requests into shared device calls (one request thread each under
+    ``ThreadingHTTPServer``; they block on the shared dispatch)."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    service = TokenizerService(artifacts_dir)
+    if window_ms > 0:
+        service = BatchingTokenizerService(artifacts_dir, window_ms)
+    else:
+        service = TokenizerService(artifacts_dir)
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, body: bytes,
@@ -202,8 +320,11 @@ def main():
     ap.add_argument("--artifacts", required=True,
                     help="directory written by tools/export_model.py")
     ap.add_argument("--port", type=int, default=8600)
+    ap.add_argument("--batch-window-ms", type=float, default=0.0,
+                    help="batch concurrent requests arriving within this "
+                         "window into one packed device call (0 = off)")
     args = ap.parse_args()
-    server = make_server(args.artifacts, args.port)
+    server = make_server(args.artifacts, args.port, args.batch_window_ms)
     meta = server.service.meta
     print(f"serving {args.artifacts} (budget {meta['seq_len']}, "
           f"quant {meta.get('quant')}) on "
