@@ -67,6 +67,14 @@ def test_encode_decode_matches_model(served):
     np.testing.assert_array_equal(fwd["indices"], ref_idx)
     assert fwd["video"].shape == ref_vid.shape
 
+    # uint8 THWC wire (half the bytes): same indices as the float clip
+    u8 = np.clip(np.rint((vid + 1) * 127.5), 0, 255).astype(
+        np.uint8).transpose(1, 2, 3, 0)
+    out8 = _post(base + "/encode", video=u8, tokens=5)
+    ref8 = model.encode([u8], [5])[0]
+    np.testing.assert_array_equal(out8["indices"], ref8)
+    np.testing.assert_array_equal(out8["grid"], vid.shape[1:])
+
 
 def test_batched_serving_matches_single(served, tmp_path_factory):
     """window_ms > 0: concurrent requests pack into shared device calls —

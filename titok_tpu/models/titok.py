@@ -279,8 +279,12 @@ class TiTokModel:
         return b.device_arrays()
 
     def _pack(self, videos, token_counts, fps=None) -> PackedBatch:
+        # uint8 THWC clips pass through untouched (the packer's fused
+        # normalize+patchify handles them — half the host-side bytes);
+        # everything else is the reference's float CTHW wire
         return pack_samples(
-            [np.asarray(v, np.float32) for v in videos],
+            [v if getattr(v, "dtype", None) == np.uint8
+             else np.asarray(v, np.float32) for v in videos],
             [int(t) for t in token_counts],
             seq_len=self.seq_len, max_samples=self.max_samples,
             patch_size=list(self.module.patch_size), head_dim=HEAD_DIM, fps=fps,
@@ -291,10 +295,12 @@ class TiTokModel:
         batching; the training packer handles this on its own stream)."""
         import math as _math
 
+        from titok_tpu.data.packing import video_dims
+
         ps = list(self.module.patch_size)
         groups, cur, cur_len = [], [], 0
         for i, (v, tc) in enumerate(zip(videos, token_counts)):
-            dims = v.shape[1:]
+            dims = video_dims(np.asarray(v))
             cost = _math.prod(d // p for d, p in zip(dims, ps)) + int(tc)
             if cost > self.seq_len:
                 raise ValueError(

@@ -7,8 +7,9 @@ code, no flax, no checkpoint** — just jax (to execute the artifact) and
 the numpy packer (to build the fixed-shape batch the program was
 exported for, ``meta.json`` carries the baked shape parameters).
 
-Protocol: npz bodies over HTTP (videos are float32 CTHW in [-1, 1],
-the reference's wire format, reference ``dataset/video_dataset.py``):
+Protocol: npz bodies over HTTP. Videos are float32 CTHW in [-1, 1]
+(the reference's wire format, reference ``dataset/video_dataset.py``)
+or uint8 THWC (half the wire bytes; normalized by the packer):
 
     POST /encode   npz{video, tokens}          -> npz{indices, grid}
     POST /decode   npz{indices, grid}          -> npz{video}
@@ -27,9 +28,11 @@ Usage::
     out = np.load(io.BytesIO(r.read()))
     out["indices"], out["grid"]
 
-One clip per request; concurrent requests are serialized onto the
-device with a lock (the artifact is a single fixed-shape program — for
-throughput, pack many clips per budget and call the artifact directly).
+By default each request runs its own device call (serialized with a
+lock). With ``--batch-window-ms > 0``, concurrent requests arriving
+within the window are packed into ONE budget-sized device call — the
+variable-shape sequence packing the trainer uses doubles as the serving
+batcher, so throughput scales with clips-per-budget.
 """
 
 from __future__ import annotations
@@ -68,6 +71,7 @@ from titok_tpu.data.packing import (
     sample_offsets,
     unpack_indices,
     unpack_videos,
+    video_dims,
 )
 
 
@@ -87,10 +91,12 @@ class TokenizerService:
         self.device_calls = 0  # forwards + decodes actually dispatched
 
     def _cost(self, video: np.ndarray, tokens: int) -> int:
-        """Budget slots this clip needs; raises on an unservable clip."""
+        """Budget slots this clip needs; raises on an unservable clip.
+        Accepts float CTHW in [-1, 1] or uint8 THWC (half the wire bytes;
+        the packer normalizes)."""
         m = self.meta
         ps = list(m["patch_size"])
-        dims = video.shape[1:]
+        dims = video_dims(video)
         if any(d % p for d, p in zip(dims, ps)):
             raise ValueError(f"grid {dims} not divisible by patch {ps}")
         cost = math.prod(d // p for d, p in zip(dims, ps)) + int(tokens)
@@ -103,7 +109,8 @@ class TokenizerService:
     def _pack_group(self, videos, tokens):
         m = self.meta
         return pack_samples(
-            [np.asarray(v, np.float32) for v in videos],
+            [v if v.dtype == np.uint8 else np.asarray(v, np.float32)
+             for v in videos],
             [int(t) for t in tokens],
             seq_len=m["seq_len"], max_samples=m["max_samples"],
             patch_size=list(m["patch_size"]), head_dim=m["head_dim"],
@@ -294,7 +301,7 @@ def make_server(artifacts_dir: str, port: int = 0, window_ms: float = 0.0):
                 if self.path == "/encode":
                     idx = service.encode_clip(req["video"],
                                               int(req["tokens"]))
-                    grid = np.asarray(req["video"].shape[1:], np.int32)
+                    grid = np.asarray(video_dims(req["video"]), np.int32)
                     out = _npz_bytes(indices=idx, grid=grid)
                 elif self.path == "/decode":
                     vid = service.decode_clip(req["indices"], req["grid"])
