@@ -11,7 +11,8 @@
 # on one chip, (b) Adafactor is stable through the relativistic-GAN +
 # finite-diff-R1/R2 step at the top of the size family. Same corpus,
 # sampling, seq budget 6144, and 160-clip held-out eval as the
-# capacity series; steps sized to the session window, not convergence.
+# capacity series; steps sized to the session window, not convergence
+# (5,000 — chained after the 12k r3e large run in the same session).
 #
 # LPIPS off (perceptual_weight=0.0) — no pretrained VGG on this image.
 exec python tools/train_supervised.py config=configs/tiny.yaml \
@@ -29,4 +30,4 @@ exec python tools/train_supervised.py config=configs/tiny.yaml \
     dataset.uint8_wire=true \
     "dataset.train_dataset=.scratch/wds/train/{00000..00018}.tar" \
     "dataset.eval_dataset=.scratch/wds/eval/{00000..00002}.tar" \
-    training.main.max_steps=8000
+    training.main.max_steps=5000
