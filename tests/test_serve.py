@@ -113,6 +113,24 @@ def test_batched_serving_matches_single(served, tmp_path_factory):
         server.shutdown()
 
 
+def test_serve_bench_tool(served, tmp_path_factory):
+    """tools/serve_bench.py: load-bench runs against a fresh in-process
+    server, completes every request, and reports a batching factor."""
+    from tools.export_model import export_model
+    from tools.serve_bench import run_bench
+
+    model, _ = served
+    art = str(tmp_path_factory.mktemp("art_bench"))
+    export_model(model.module, model.params, model.vq_state,
+                 model._dummy_batch(), art)
+    res = run_bench(art, op="forward", clients=4, requests=8,
+                    thw=(4, 16, 16), tokens=4, window_ms=300, uint8=True)
+    assert res["ok"] == 8 and not res["errors"]
+    assert res["clips_per_sec"] > 0 and res["device_calls"] >= 1
+    assert res["clips_per_call"] >= 1.0
+    assert res["p95_ms"] >= res["p50_ms"] > 0
+
+
 def test_client_errors_are_400(served):
     _, base = served
     rng = np.random.default_rng(1)

@@ -141,9 +141,13 @@ def main() -> None:
     ap.add_argument("--quant", choices=("w8a16", "w8a8"), default=None,
                     help="bake per-channel int8 weights (weight-only or "
                          "dynamic-activation int8 matmuls)")
+    ap.add_argument("--set", action="append", default=[],
+                    dest="overrides", metavar="KEY=VAL",
+                    help="dotted config override, e.g. "
+                         "tokenizer.model.encoder_size=large")
     args = ap.parse_args()
 
-    cfg, model = _load_model(args.config, args.ckpt, 0)
+    cfg, model = _load_model(args.config, args.ckpt, 0, args.overrides)
     example = model._dummy_batch()
     platforms = args.platforms.split(",") if args.platforms else None
     export_model(model.module, model.params, model.vq_state, example,

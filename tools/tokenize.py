@@ -44,11 +44,12 @@ def _honor_platform_env():
 _honor_platform_env()
 
 
-def _load_model(config_path: str, ckpt: str | None, token_count: int):
+def _load_model(config_path: str, ckpt: str | None, token_count: int,
+                overrides: list[str] | None = None):
     from titok_tpu.config import load_config
     from titok_tpu.models.titok import TiTokModel, make_titok
 
-    cfg = load_config(config_path)
+    cfg = load_config(config_path, overrides)
     module = make_titok(cfg)
     model = TiTokModel(
         module,
@@ -109,7 +110,8 @@ def _read_clip(path: str, cfg):
 
 
 def encode_cmd(args):
-    cfg, model = _load_model(args.config, args.ckpt, args.tokens)
+    cfg, model = _load_model(args.config, args.ckpt, args.tokens,
+                             args.overrides)
     model = _maybe_quantize(model, args)
     os.makedirs(args.out, exist_ok=True)
     for path in args.inputs:
@@ -124,7 +126,7 @@ def encode_cmd(args):
 def decode_cmd(args):
     from titok_tpu.data.video_reader import encode_video
 
-    cfg, model = _load_model(args.config, args.ckpt, 0)
+    cfg, model = _load_model(args.config, args.ckpt, 0, args.overrides)
     model = _maybe_quantize(model, args)
     os.makedirs(args.out, exist_ok=True)
     for path in args.inputs:
@@ -161,6 +163,10 @@ def main():
         p.add_argument("--out", required=True)
         p.add_argument("--quant", choices=("w8a16", "w8a8"), default=None,
                        help="int8-quantize the Dense layers for serving")
+        p.add_argument("--set", action="append", default=[],
+                       dest="overrides", metavar="KEY=VAL",
+                       help="dotted config override, e.g. "
+                            "tokenizer.model.encoder_size=large")
         if name == "encode":
             p.add_argument("--tokens", type=int, default=64,
                            help="latent tokens per clip")
