@@ -96,3 +96,25 @@ def test_pad_rope_is_identity(rng):
     assert pad.any()
     np.testing.assert_array_equal(batch.rope_cos[pad], 1.0)
     np.testing.assert_array_equal(batch.rope_sin[pad], 0.0)
+
+
+def test_grid_only_matches_zero_dummy(rng):
+    """A GridOnly placeholder packs identically to an all-zero pixel clip
+    of the same grid (the serving /decode path relies on this — it packs
+    GridOnly to reserve budget slots without patchifying dummy pixels)."""
+    from titok_tpu.data.packing import GridOnly
+
+    vids = [_vid(rng, 8, 16, 16), np.zeros((3, 4, 8, 24), np.float32)]
+    tcs = [5, 2]
+    ref = pack_samples(vids, tcs, seq_len=64, max_samples=4, patch_size=PATCH)
+    got = pack_samples([vids[0], GridOnly((4, 8, 24))], tcs, seq_len=64,
+                       max_samples=4, patch_size=PATCH)
+    for name in ("patches", "segment_ids", "token_mask", "rope_cos",
+                 "rope_sin", "token_counts", "grid_sizes", "grids",
+                 "sample_valid"):
+        np.testing.assert_array_equal(getattr(got, name), getattr(ref, name),
+                                      err_msg=name)
+    # channel inference also works when GridOnly leads the batch
+    first = pack_samples([GridOnly((4, 8, 24)), vids[0]], [2, 5], seq_len=64,
+                         max_samples=4, patch_size=PATCH)
+    assert first.patches.shape == ref.patches.shape

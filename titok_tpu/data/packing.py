@@ -126,9 +126,24 @@ def sample_offsets(token_counts: np.ndarray, grid_sizes: np.ndarray) -> np.ndarr
     return np.concatenate([[0], np.cumsum(seq_lens)]).astype(np.int64)
 
 
-def video_dims(vid: np.ndarray) -> tuple[int, ...]:
+class GridOnly:
+    """Grid-shaped placeholder accepted wherever ``pack_samples`` takes a
+    video: reserves the sample's budget slots (token + patch rows) but
+    writes no pixel rows (they stay zero). Serving ``/decode`` packs
+    these — the decoder replaces patch slots with the mask token, so
+    their values are irrelevant, and allocating + patchifying dummy
+    pixel buffers was pure host-side waste."""
+
+    def __init__(self, dims: Sequence[int], channels: int = 3):
+        self.dims = tuple(int(d) for d in dims)
+        self.channels = int(channels)
+
+
+def video_dims(vid) -> tuple[int, ...]:
     """Pixel dims (T, H, W) of a clip in either accepted layout:
     float CTHW (the reference's layout) or uint8 THWC (decoder output)."""
+    if isinstance(vid, GridOnly):
+        return vid.dims
     if vid.dtype == np.uint8 and vid.ndim == 4 and vid.shape[-1] in (1, 3):
         return tuple(vid.shape[:3])
     return tuple(vid.shape[1:])
@@ -182,7 +197,12 @@ def pack_samples(
     B = len(videos)
     assert B == len(token_counts) and B <= max_samples, (B, max_samples)
     v0 = videos[0]
-    c = v0.shape[-1] if (v0.dtype == np.uint8 and v0.ndim == 4) else v0.shape[0]
+    if isinstance(v0, GridOnly):
+        c = v0.channels
+    elif v0.dtype == np.uint8 and v0.ndim == 4:
+        c = v0.shape[-1]
+    else:
+        c = v0.shape[0]
     p_elems = int(math.prod(patch_size)) * c
 
     grids = np.zeros((max_samples, n_dims), dtype=np.int32)
@@ -215,7 +235,9 @@ def pack_samples(
 
         segment_ids[offset:end] = b + 1
         token_mask[offset : offset + tc] = True
-        patches[offset + tc : end] = _video_rows(vid, patch_size, dtype).astype(dtype)
+        if not isinstance(vid, GridOnly):
+            patches[offset + tc : end] = _video_rows(
+                vid, patch_size, dtype).astype(dtype)
         positions[offset:end] = positions_for_sample(grid, tc)
         offset = end
 

@@ -254,11 +254,23 @@ class TiTokModel:
         if params is None:
             params = self.init_params(seed)
         self.params = params
+        self._build_closures()
+
+    def _build_closures(self, apply_fn=None):
+        """(Re)build the jitted entry points from one apply function.
+
+        ``apply_fn(variables, *args, method=...)`` defaults to
+        ``module.apply``; serving-side wrappers (e.g. int8 quantization,
+        ``titok_tpu/serving/quant.py``) override it so every entry point
+        is rerouted in one place instead of duplicating closure
+        signatures."""
+        if apply_fn is None:
+            apply_fn = self.module.apply
         self._jit_forward = jax.jit(
-            lambda p, vqs, b: self.module.apply({"params": p}, b, vqs)
+            lambda p, vqs, b: apply_fn({"params": p}, b, vqs)
         )
         self._jit_decode_indices = jax.jit(
-            lambda p, vqs, idx, b: self.module.apply(
+            lambda p, vqs, idx, b: apply_fn(
                 {"params": p}, idx, b, vqs,
                 method=self.module.decode_indices_packed,
             )

@@ -164,19 +164,12 @@ def quantize_model(model, mode: str = "w8a8"):
     untouched; everything else (packer, vq_state, public list-of-videos
     API) is shared."""
     import copy
+    import functools
 
     qparams = quantize_params(model.params)
     m = copy.copy(model)
     m.params = qparams
-    m._jit_forward = jax.jit(
-        lambda p, vqs, b: quantized_apply(
-            model.module, {"params": p}, b, vqs, mode=mode
-        )
-    )
-    m._jit_decode_indices = jax.jit(
-        lambda p, vqs, idx, b: quantized_apply(
-            model.module, {"params": p}, idx, b, vqs,
-            method=model.module.decode_indices_packed, mode=mode,
-        )
+    m._build_closures(
+        functools.partial(quantized_apply, model.module, mode=mode)
     )
     return m

@@ -67,6 +67,7 @@ def _honor_platform_env():
 _honor_platform_env()
 
 from titok_tpu.data.packing import (
+    GridOnly,
     pack_samples,
     sample_offsets,
     unpack_indices,
@@ -109,8 +110,8 @@ class TokenizerService:
     def _pack_group(self, videos, tokens):
         m = self.meta
         return pack_samples(
-            [v if v.dtype == np.uint8 else np.asarray(v, np.float32)
-             for v in videos],
+            [v if (isinstance(v, GridOnly) or v.dtype == np.uint8)
+             else np.asarray(v, np.float32) for v in videos],
             [int(t) for t in tokens],
             seq_len=m["seq_len"], max_samples=m["max_samples"],
             patch_size=list(m["patch_size"]), head_dim=m["head_dim"],
@@ -133,10 +134,7 @@ class TokenizerService:
     def decode_group(self, indices_list, grids):
         """[video] for up to a budget's worth of (indices, grid) pairs."""
         m = self.meta
-        dummies = [
-            np.zeros([m["in_channels"]] + [int(g) for g in grid], np.float32)
-            for grid in grids
-        ]
+        dummies = [GridOnly(grid, m["in_channels"]) for grid in grids]
         for d, ix in zip(dummies, indices_list):
             self._cost(d, len(ix))
         batch = self._pack_group(dummies, [len(ix) for ix in indices_list])
@@ -198,9 +196,7 @@ class BatchingTokenizerService(TokenizerService):
         return self._submit("fwd", (video, tokens), cost)
 
     def decode_clip(self, indices, grid):
-        m = self.meta
-        dummy = np.zeros([m["in_channels"]] + [int(g) for g in grid],
-                         np.float32)
+        dummy = GridOnly(grid, self.meta["in_channels"])
         cost = self._cost(dummy, len(indices))
         return self._submit("dec", (indices, grid), cost)
 
@@ -215,9 +211,9 @@ class BatchingTokenizerService(TokenizerService):
         op = first[0]
         group = [first]
         used = first[2]
-        deadline = _time.time() + self.window_s
+        deadline = _time.monotonic() + self.window_s
         while (len(group) < self.meta["max_samples"]):
-            remaining = deadline - _time.time()
+            remaining = deadline - _time.monotonic()
             if remaining <= 0:
                 break
             try:
@@ -314,8 +310,10 @@ def make_server(artifacts_dir: str, port: int = 0, window_ms: float = 0.0):
                     self._reply(404, b"not found", "text/plain")
                     return
                 self._reply(200, out)
-            except Exception as e:  # client error surface
+            except (ValueError, KeyError) as e:  # malformed request
                 self._reply(400, str(e).encode(), "text/plain")
+            except Exception as e:  # device/internal failure — retryable
+                self._reply(500, str(e).encode(), "text/plain")
 
     server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
     server.service = service

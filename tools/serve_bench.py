@@ -79,16 +79,20 @@ def run_bench(artifacts: str, op: str = "forward", clients: int = 8,
     latencies: list[float] = []
     lock = threading.Lock()
     errors: list[str] = []
-    per_client = requests // clients
+    # spread requests over clients, remainder to the first few — the
+    # fired total always equals the flag (requests < clients just idles
+    # the surplus clients)
+    shares = [requests // clients + (1 if i < requests % clients else 0)
+              for i in range(clients)]
     start = threading.Barrier(clients + 1)
 
-    def client(seed: int):
+    def client(seed: int, count: int):
         crng = np.random.default_rng(seed)
         mine = dict(body)
         if op != "decode":
             mine["video"] = _clip(crng, thw, uint8)
         start.wait()
-        for _ in range(per_client):
+        for _ in range(count):
             t0 = time.perf_counter()
             try:
                 _post(url, **mine)
@@ -100,7 +104,7 @@ def run_bench(artifacts: str, op: str = "forward", clients: int = 8,
             with lock:
                 latencies.append(dt)
 
-    threads = [threading.Thread(target=client, args=(i,))
+    threads = [threading.Thread(target=client, args=(i, shares[i]))
                for i in range(clients)]
     for t in threads:
         t.start()
@@ -118,7 +122,7 @@ def run_bench(artifacts: str, op: str = "forward", clients: int = 8,
         "op": op,
         "quant": server.service.meta.get("quant"),
         "clients": clients,
-        "requests": clients * per_client,
+        "requests": sum(shares),
         "ok": n,
         "errors": errors[:3],
         "window_ms": window_ms,
