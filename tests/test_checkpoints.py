@@ -197,3 +197,20 @@ def test_host_snapshot_skips_checkpoint_steps():
         Trainer._maybe_host_snapshot(self_mock, state, step)
     # 1000/2000 are checkpoint steps -> skipped; 0 never snapshots
     assert calls == [250, 500, 750, 1250]
+
+
+def test_resave_existing_step_is_a_noop(rng, tmp_path):
+    """Re-saving a step that already exists returns False instead of
+    raising orbax's StepAlreadyExistsError (force=True does NOT overwrite).
+    Hit by the final/preemption save when a completed run is relaunched
+    with resume (the supervisor always resumes over an existing run dir)."""
+    cfg = tiny_config(disc=False)
+    batch = pack_samples(synthetic_videos(rng, 2), [2, 3], seq_len=128,
+                         max_samples=4, patch_size=PATCH)
+    state = _state(cfg, batch)
+    ckpt = CheckpointManager(str(tmp_path / "ck"), save_interval=1)
+    assert ckpt.save(int(state.step), state) is True
+    ckpt.wait()
+    assert ckpt.save(int(state.step), state) is False  # no raise
+    assert ckpt.latest_step() == int(state.step)
+    ckpt.close()

@@ -378,3 +378,52 @@ def test_supervisor_aborts_on_fast_crash_loop(monkeypatch):
     rc = ts.main(["config=/nonexistent.yaml", "--fast-fail-limit", "3"])
     assert rc == 1
     assert len(launches) == 3  # not max_restarts (50)
+
+
+def test_supervisor_forwards_sigterm(monkeypatch):
+    """Killing the SUPERVISOR must not orphan the trainer: SIGTERM is
+    forwarded to the child (which preemption-saves and exits 143) and the
+    supervisor exits without relaunching — otherwise a restarted
+    supervisor would put a second trainer on the same run dir."""
+    import os
+    import signal as _signal
+
+    import tools.train_supervised as ts
+
+    old_term = _signal.getsignal(_signal.SIGTERM)
+    old_int = _signal.getsignal(_signal.SIGINT)
+    launches, children = [], []
+
+    class FakeChild:
+        pid = os.getpid()  # only read for RSS polling
+
+        def __init__(self):
+            self.got = []
+            self.polls = 0
+
+        def poll(self):
+            self.polls += 1
+            if self.got:
+                return 143  # preemption save done, clean exit
+            if self.polls == 1:
+                os.kill(os.getpid(), _signal.SIGTERM)  # kill the SUPERVISOR
+            return None
+
+        def send_signal(self, sig):
+            self.got.append(sig)
+
+    def fake_popen(args, **kw):
+        launches.append(args)
+        c = FakeChild()
+        children.append(c)
+        return c
+
+    monkeypatch.setattr(ts.subprocess, "Popen", fake_popen)
+    try:
+        rc = ts.main(["config=/nonexistent.yaml", "--poll-sec", "0.05"])
+    finally:
+        _signal.signal(_signal.SIGTERM, old_term)
+        _signal.signal(_signal.SIGINT, old_int)
+    assert rc == 143
+    assert len(launches) == 1  # no relaunch after a requested shutdown
+    assert children[0].got == [_signal.SIGTERM]

@@ -36,8 +36,18 @@ def initialize(coordinator_address: str | None = None,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        # Only double-initialization is benign. A coordinator-unreachable /
+        # barrier-timeout XlaRuntimeError also subclasses RuntimeError —
+        # swallowing it would silently degrade every host to an independent
+        # single-process run (all writing the same save_path).
+        if jax.distributed.is_initialized():
+            return  # already initialized
+
+        raise RuntimeError(
+            f"jax.distributed.initialize failed (coordinator="
+            f"{coordinator_address!r}): {e}"
+        ) from e
 
 
 def initialize_from_config(config) -> None:

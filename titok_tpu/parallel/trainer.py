@@ -97,6 +97,24 @@ class DataParallelTrainer(Trainer):
             self.mh_start, self.mh_count = multihost.local_batch_slice(
                 self.n_devices
             )
+            hub = set(self.eval_metrics.metrics)
+            if hub - {"psnr", "ssim"}:
+                raise NotImplementedError(
+                    f"host-hub eval metrics ({sorted(hub - {'psnr', 'ssim'})}) "
+                    "are not multihost-aware — each process would score only "
+                    "its local shard and log it as the global metric. Drop "
+                    "them from training.eval.log_metrics (device-side "
+                    "psnr/ssim are globally correct) or eval offline with "
+                    "tools/evaluate.py"
+                )
+            if hub:
+                import warnings
+
+                warnings.warn(
+                    f"multihost: host-fallback {sorted(hub)} are computed "
+                    "over the primary process's eval shard only (the "
+                    "device-side variants are globally exact)"
+                )
             if not multihost.is_primary():
                 self.logger = _NullLogger()
         else:
@@ -159,21 +177,32 @@ class DataParallelTrainer(Trainer):
 
     def _stacked_batches(self, seed: int) -> Iterator[tuple]:
         """Group the packed stream into [D]-sized groups; every process
-        sees the same deterministic stream and takes its own slice."""
+        sees the same deterministic stream and takes its own slice.
+
+        Extras (disc buffers, perceptual plans) are built only for the
+        local slice, from per-batch child seeds drawn off the shared rng —
+        so row ``i``'s extras are identical on every process (and to a
+        single-host run) without every host paying the full group's
+        build cost."""
         it = self.batches_fn(self.config, eval=False, seed=seed)
         rng = np.random.default_rng(seed + 1)
         sl = slice(self.mh_start, self.mh_start + self.mh_count)
-        group, group_extras = [], []
+        group, group_seeds = [], []
         for batch in it:
             group.append(batch)
-            group_extras.append(self._build_extras(batch, rng))
+            group_seeds.append(rng.integers(2**63))
             if len(group) == self.n_devices:
-                yield group[sl], group_extras[sl]
-                group, group_extras = [], []
+                extras = [
+                    self._build_extras(b, np.random.default_rng(s))
+                    for b, s in zip(group[sl], group_seeds[sl])
+                ]
+                yield group[sl], extras
+                group, group_seeds = [], []
 
     def fit(self):
         cfg = self.config
         cm = cfg.training.main
+        self._pre_fit_setup()
         max_steps = int(cm.max_steps)
         log_every = int(cfg.general.wandb.get("log_step_interval", 50))
         eval_every = int(cfg.training.eval.get("eval_step_interval", 1000))
@@ -244,6 +273,7 @@ class DataParallelTrainer(Trainer):
             state, metrics, indices = train_step(
                 state, s_dev, dev_extras.get("disc"), dev_extras.get("perc")
             )
+            self._check_deferred_preempt(state)
             tokens_since += sg.seq_len
 
             if self.codebook_logger is not None:

@@ -42,9 +42,15 @@ class CheckpointManager:
         return self.mgr.save(int(step), args=ocp.args.StandardSave(state))
 
     def save(self, step: int, state: Any) -> bool:
-        return self.mgr.save(
-            int(step), args=ocp.args.StandardSave(state), force=True
-        )
+        step = int(step)
+        # orbax raises StepAlreadyExistsError even with force=True; hit by
+        # the final/preemption save when relaunching an already-completed
+        # run (the supervisor always resumes over an existing run dir),
+        # which otherwise becomes a crash-restart loop.
+        if step in self.mgr.all_steps():
+            return False
+        return self.mgr.save(step, args=ocp.args.StandardSave(state),
+                             force=True)
 
     def latest_step(self) -> int | None:
         return self.mgr.latest_step()

@@ -229,11 +229,7 @@ class Trainer:
         eval_every = int(cfg.training.eval.get("eval_step_interval", 1000))
         seed = int(cm.get("seed", 0))
 
-        # reproducibility/debug aids (the reference has none, SURVEY §5)
-        if cm.get("debug_nans", False):
-            jax.config.update("jax_debug_nans", True)
-        with open(os.path.join(self.logger.out_dir, "config.yaml"), "w") as f:
-            f.write(cfg.to_yaml())
+        self._pre_fit_setup()
 
         state = self._init_state(seed)
         self._eval_step = jax.jit(
@@ -284,6 +280,7 @@ class Trainer:
             state, metrics, indices = train_step(
                 state, dev_batch, dev_extras.get("disc"), dev_extras.get("perc")
             )
+            self._check_deferred_preempt(state)
             if profile_dir and profile_steps and step_num == int(profile_steps) + 3:
                 import jax as _jax
 
@@ -399,6 +396,7 @@ class Trainer:
                 )
                 indices = np.stack([np.asarray(ix) for ix in idxs])
                 batches = batches[:take]
+            self._check_deferred_preempt(state)
             start, step_num = step_num, step_num + take
             timer.tick()
             tokens_since += sum(b.seq_len for b in batches)
@@ -489,6 +487,26 @@ class Trainer:
         host_state = jax.device_get(state)
         self.ckpt.save_snapshot(int(host_state.step), host_state)
 
+    def _check_deferred_preempt(self, state):
+        """Complete a preemption save the signal handler deferred (the
+        signal caught the loop mid-step, when the donated input state was
+        still the bound one — see ``_install_preemption_save``)."""
+        if getattr(self, "_preempt_deferred", False):
+            self._save_with_fallback(state)
+            exit(143)
+
+    def _pre_fit_setup(self):
+        """Reproducibility/debug aids shared by every trainer's fit (the
+        reference has none, SURVEY §5): honor ``training.main.debug_nans``
+        and snapshot the resolved config into the run dir (skipped on
+        non-primary multihost processes, whose logger has no out_dir)."""
+        if self.config.training.main.get("debug_nans", False):
+            jax.config.update("jax_debug_nans", True)
+        out_dir = getattr(self.logger, "out_dir", "")
+        if out_dir:
+            with open(os.path.join(out_dir, "config.yaml"), "w") as f:
+                f.write(self.config.to_yaml())
+
     def _save_with_fallback(self, state, timeout_s: float | None = None) -> bool:
         """Preemption save with a bounded wait: the device fetch inside an
         orbax save hangs forever on a wedged relay. Run it in a worker
@@ -536,10 +554,24 @@ class Trainer:
         import signal
 
         self._get_state = get_state
+        self._preempt_deferred = False
 
         def handler(signum, frame):
+            # The train step donates its input state: a signal delivered
+            # while the main thread is blocked inside the step dispatch
+            # runs this handler right after the call returns — before the
+            # loop rebinds ``state`` — so ``get_state()`` can still name
+            # the donated (deleted) arrays. Defer to the loop in that
+            # case; it saves at the next coherent point and exits 143.
+            st = self._get_state()
+            if any(getattr(leaf, "is_deleted", lambda: False)()
+                   for leaf in jax.tree_util.tree_leaves(st)):
+                self._preempt_deferred = True
+                print("preemption signal mid-step — deferring the save to "
+                      "the step boundary", flush=True)
+                return
             try:
-                self._save_with_fallback(self._get_state())
+                self._save_with_fallback(st)
             finally:
                 signal.default_int_handler(signum, frame) if signum == signal.SIGINT \
                     else exit(143)

@@ -128,6 +128,27 @@ def main(argv: list[str]) -> int:
     train_py = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "train.py"
     )
+
+    # Killing the SUPERVISOR must not orphan the trainer: a later
+    # supervisor over the same run dir would launch a second trainer
+    # against the same checkpoints (and a second heavy job on this box).
+    # Forward SIGTERM so the child preemption-saves, then exit without
+    # relaunching; the SIGKILL grace escalation below still applies.
+    sup = {"child": None, "shutdown": False, "term_at": None}
+
+    def _on_signal(sig, frame):
+        sup["shutdown"] = True
+        c = sup["child"]
+        print(f"[supervisor] received signal {sig} — forwarding SIGTERM to "
+              "the child and exiting once it stops", flush=True)
+        if c is not None and c.poll() is None:
+            c.send_signal(signal.SIGTERM)
+            if sup["term_at"] is None:
+                sup["term_at"] = time.time()
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
     restarts = 0
     fast_fails = 0
     while True:
@@ -136,8 +157,8 @@ def main(argv: list[str]) -> int:
         print(f"[supervisor] launch (restart {restarts}): {' '.join(args[2:])}",
               flush=True)
         child = subprocess.Popen(args)
+        sup["child"], sup["term_at"] = child, None
         t_start = time.time()
-        term_sent_at = None
         # If the preemption save hangs (e.g. the device relay wedges
         # mid-checkpoint), escalate to SIGKILL after a grace period so
         # the leaked RSS cannot grow until the host OOM-kills something;
@@ -148,21 +169,26 @@ def main(argv: list[str]) -> int:
             if rc is not None:
                 break
             rss = _rss_gb(child.pid)
-            if (rss > rss_limit and term_sent_at is None
+            if (rss > rss_limit and sup["term_at"] is None
+                    and not sup["shutdown"]
                     and time.time() - t_start > min_lifetime):
                 print(f"[supervisor] RSS {rss:.1f} GB > {rss_limit} GB — "
                       "SIGTERM for checkpoint-and-restart", flush=True)
                 child.send_signal(signal.SIGTERM)
-                term_sent_at = time.time()
-            elif (term_sent_at is not None
-                    and time.time() - term_sent_at > term_grace):
+                sup["term_at"] = time.time()
+            elif (sup["term_at"] is not None
+                    and time.time() - sup["term_at"] > term_grace):
                 print(f"[supervisor] child ignored SIGTERM for "
                       f"{term_grace:.0f}s (wedged save?) — SIGKILL",
                       flush=True)
                 child.kill()
-                term_sent_at = None
+                sup["term_at"] = None
             time.sleep(poll_sec)
 
+        if sup["shutdown"]:
+            print(f"[supervisor] shutdown requested — child exited rc={rc}, "
+                  "not relaunching", flush=True)
+            return rc if rc is not None else 143
         if rc == 0:
             print("[supervisor] child completed", flush=True)
             return 0
