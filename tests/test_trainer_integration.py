@@ -84,6 +84,25 @@ def test_fit_and_resume(csv_file, tmp_path):
     assert int(state3.step) == 1
 
 
+def test_train_probe_metrics(csv_file, tmp_path):
+    """train_probe_dataset adds eval/train_psnr scored with the held-out
+    protocol (capacity-vs-data-ceiling analysis, round-3 verdict weak #5)."""
+    cfg = _cfg(csv_file, tmp_path / "probe")
+    cfg.set_dotted("training.main.max_steps", 3)
+    cfg.set_dotted("training.eval.train_probe_dataset", csv_file)
+    cfg.set_dotted("training.eval.train_probe_samples", 2)
+    trainer = Trainer(cfg)
+    trainer.fit()
+    lines = [json.loads(l) for l in
+             open(os.path.join(cfg.general.checkpoints.save_path,
+                               "metrics.jsonl"))]
+    rows = [l for l in lines if "eval/train_psnr" in l]
+    assert rows, "train-probe PSNR was not logged"
+    assert np.isfinite(rows[-1]["eval/train_psnr"])
+    # probe cache is built once and reused across validate() calls
+    assert len(trainer._train_probe_cache) >= 1
+
+
 def test_backend_selection(csv_file):
     cfg = tiny_config()
     cfg.set_dotted("dataset.train_dataset", csv_file)

@@ -676,7 +676,62 @@ class Trainer:
             )
         if "ssim" in self.device_im and acc.get("ssim_cnt", 0) > 0:
             scores["eval/ssim"] = acc["ssim_sum"] / acc["ssim_cnt"]
+        scores.update(self._train_probe_scores(state, eval_step))
         self.logger.log_metrics(scores, step_num)
         self.logger.log_console(scores, step_num)
         if self.codebook_logger is not None and self.codebook_logger.is_score_ready():
             self.logger.log_metrics(self.codebook_logger.get_scores(), step_num)
+
+    def _train_probe_scores(self, state, eval_step) -> dict:
+        """Device-metric pass over a held-IN probe of TRAIN clips.
+
+        ``training.eval.train_probe_dataset`` (same format as the eval
+        set) enables ``eval/train_psnr``/``eval/train_ssim``: scoring a
+        fixed train subset with the exact held-out protocol separates
+        model capacity from data/objective ceiling — if train-set rPSNR
+        plateaus with held-out rPSNR, the model is capacity- or
+        objective-bound, not overfitting a too-small corpus (round-3
+        verdict weak #5). Probe batches are deterministic (eval
+        transforms, seed 0) and cached after the first epoch.
+        """
+        ce = self.config.training.eval
+        probe_spec = ce.get("train_probe_dataset", None)
+        if not probe_spec or not self.device_im:
+            return {}
+        from titok_tpu.metrics.psnr_device import psnr_from_stats
+        from titok_tpu.ops.frames import build_eval_frame_plan
+
+        if getattr(self, "_train_probe_cache", None) is None:
+            import copy as _copy
+
+            pc = _copy.deepcopy(self.config)
+            pc.dataset.eval_dataset = probe_spec
+            pc.training.eval.eval_samples = int(
+                ce.get("train_probe_samples", 64))
+            self._train_probe_cache = list(
+                self.batches_fn(pc, eval=True, seed=0))
+        acc_dev = None
+        for batch in self._train_probe_cache:
+            plan = None
+            if "ssim" in self.device_im:
+                plan = build_eval_frame_plan(
+                    batch, num_frames=self._eval_kmax,
+                    patch_size=self.patch_size,
+                    max_grid_hw=self.max_grid[1:],
+                ).device_arrays()
+            _, _, stats = eval_step(
+                state.gen_params, batch.device_arrays(), plan,
+                state.vq_state or None,
+            )
+            acc_dev = stats if acc_dev is None else jax.tree_util.tree_map(
+                lambda a, b: a + b, acc_dev, stats)
+        if acc_dev is None:
+            return {}
+        acc = {k: float(v) for k, v in jax.device_get(acc_dev).items()}
+        out = {}
+        if "psnr" in self.device_im:
+            out["eval/train_psnr"] = psnr_from_stats(
+                acc["psnr_sse"], acc["psnr_cnt"])
+        if "ssim" in self.device_im and acc.get("ssim_cnt", 0) > 0:
+            out["eval/train_ssim"] = acc["ssim_sum"] / acc["ssim_cnt"]
+        return out

@@ -14,8 +14,8 @@ import json
 import os
 
 DEFAULT_KEYS = [
-    "train/total_loss",
-    "train/reconstruction_loss",
+    "train/gen/total_loss",
+    "train/gen/recon_loss",
     "train/disc/total_loss",
 ]
 
@@ -46,11 +46,17 @@ def main():
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(figsize=(7, 4.2))
+    plotted = 0
     for key in keys:
         xs = [r["step"] for r in rows if key in r]
         ys = [r[key] for r in rows if key in r]
         if xs:
             ax.plot(xs, ys, label=key, linewidth=1.2)
+            plotted += 1
+    if not plotted:
+        avail = sorted({k for r in rows for k in r if k != "step"})
+        raise SystemExit(
+            f"no requested key found in {len(rows)} rows; available: {avail}")
     ax.set_xlabel("step")
     ax.set_ylabel("loss")
     ax.legend(fontsize=8)
