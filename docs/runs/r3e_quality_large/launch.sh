@@ -6,6 +6,16 @@
 # (160 held-out clips). Fresh 12k cosine (not a continuation of the
 # r3c 2k smoke, whose schedule completed at 2k).
 #
+# EXECUTED IN ROUND 4 (2026-08-20). Round-4 deltas, none affecting the
+# training recipe:
+# - corpus regenerated with the round-4 generator: eval set via --exact
+#   (byte-identical to the r3b recipe; frozen in docs/eval_set/), train
+#   corpus via the fast renderer (distribution-identical, ~6x faster —
+#   the serial regen cost is what killed two prior launch attempts).
+# - training.eval.train_probe_dataset: train-set rPSNR/rSSIM logged
+#   with the held-out protocol (capacity-vs-data-ceiling analysis,
+#   round-3 verdict weak #5).
+#
 # Deltas vs the smaller capacity runs, both forced by scale:
 # - discriminator stays BASE: the all-large GAN state is 19.6 GB HBM vs
 #   the v5e's 15.75 (see docs/runs/r3c_large_smoke/README.md) — an
@@ -29,4 +39,6 @@ exec python tools/train_supervised.py config=configs/tiny.yaml \
     dataset.uint8_wire=true \
     "dataset.train_dataset=.scratch/wds/train/{00000..00018}.tar" \
     "dataset.eval_dataset=.scratch/wds/eval/{00000..00002}.tar" \
+    training.eval.train_probe_dataset=.scratch/wds/train/00000.tar \
+    training.eval.train_probe_samples=64 \
     training.main.max_steps=12000
