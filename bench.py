@@ -327,6 +327,86 @@ def bench_base(out=None):
     return results
 
 
+SPC_LAST_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_SPC_LAST.json")
+
+
+def bench_steps_per_call(seq_len=12288, clip=(16, 160, 160), token_count=64,
+                         total_steps=16, ks=(1, 8), model_size="base",
+                         remat=True, tag="base cfg remat"):
+    """K-steps-per-dispatch amortization at base scale (round-3 verdict
+    "do this" #8): ``training.main.steps_per_call`` exists to amortize
+    the per-dispatch relay RTT, but no on-chip K>1 number was committed.
+    Measures the SAME ``lax.scan``-of-K program the trainer builds:
+    wall-time for ``total_steps`` real L1+GAN train steps issued as
+    ``total_steps/K`` dispatches (state threaded through the carry,
+    completion forced by fetching the final loss). Gated behind
+    TITOK_BENCH_SPC=1 — the K=8 base program is a heavy remote compile."""
+    import sys
+
+    import jax
+
+    from titok_tpu.data.packing import build_disc_batch, pack_samples
+    from titok_tpu.losses.loss_module import LossSystem
+    from titok_tpu.models.titok import make_titok
+    from titok_tpu.training.train_step import TrainStepBuilder
+
+    patch = (4, 8, 8)
+    rng = np.random.default_rng(0)
+    grid = (clip[0] // patch[0]) * (clip[1] // patch[1]) * (clip[2] // patch[2])
+    per = grid + token_count
+    n = seq_len // per
+    vids = [rng.uniform(-1, 1, size=(3, *clip)).astype(np.float32)
+            for _ in range(n)]
+    batch = pack_samples(vids, [token_count] * n, seq_len=seq_len,
+                         max_samples=max(n, 1), patch_size=patch)
+
+    cfg = _bench_config(seq_len, (token_count, token_count),
+                        model_size=model_size, clip=clip, remat=remat)
+    cfg.set_dotted("tokenizer.losses.disc_weight", 0.4)
+    model = make_titok(cfg)
+    ls = LossSystem(cfg)
+    builder = TrainStepBuilder(model, ls, cfg)
+    disc = build_disc_batch(batch, ls.disc_tokens)
+    arrs = jax.device_put(batch.device_arrays())
+    disc_arrs = jax.device_put(disc.device_arrays())
+    state0 = builder.init_state(jax.random.PRNGKey(0), arrs, disc_arrs)
+    step_fn = builder.make_train_step({})
+
+    results = {}
+    for k in ks:
+        def k_program(state, arrs, disc_arrs, k=k):
+            def body(st, _):
+                st, metrics, _ = step_fn(st, arrs, disc_arrs, None)
+                return st, metrics["gen/total_loss"]
+
+            st, losses = jax.lax.scan(body, state, None, length=k)
+            return st, losses[-1]
+
+        prog = jax.jit(k_program)
+        st, loss = prog(state0, arrs, disc_arrs)   # compile + warm
+        _ = np.asarray(loss)
+        dispatches = total_steps // k
+        st = state0
+        t0 = time.perf_counter()
+        for _ in range(dispatches):
+            st, loss = prog(st, arrs, disc_arrs)
+        _ = np.asarray(loss)                       # force completion
+        dt = time.perf_counter() - t0
+        line = {
+            "metric": f"train-step L1+GAN steps_per_call={k} ({tag}, "
+                      f"{clip[0]}x{clip[1]}^2 clips, seq {seq_len})",
+            "value": round(n * total_steps / dt, 3),
+            "unit": "clips/sec/chip",
+            "step_ms": round(dt / total_steps * 1e3, 2),
+            "dispatches": dispatches,
+        }
+        results[f"spc_{k}"] = line
+        print(json.dumps(line), file=sys.stderr, flush=True)
+        json.dump(results, open(SPC_LAST_PATH, "w"))
+    return results
+
+
 LARGE_LAST_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_LARGE_LAST.json")
 
@@ -550,6 +630,30 @@ def main():
         t.start()
         try:
             bench_base()
+        finally:
+            t.cancel()
+
+    # steps_per_call K-sweep (opt-in, heavy remote compile of the K=8
+    # base program)
+    if os.environ.get("TITOK_BENCH_SPC", "0") == "1":
+        import sys
+        import threading
+
+        def spc_fallback():
+            note = {"metric": "steps_per_call bench", "value": 0.0,
+                    "note": "TPU relay unreachable during spc bench"}
+            if os.path.exists(SPC_LAST_PATH):
+                note = json.load(open(SPC_LAST_PATH))
+                note["note"] = ("relay unreachable; last recorded spc "
+                                "measurements")
+            print(json.dumps(note), file=sys.stderr, flush=True)
+            os._exit(0)
+
+        t = threading.Timer(WATCHDOG_S * 4, spc_fallback)
+        t.daemon = True
+        t.start()
+        try:
+            bench_steps_per_call()
         finally:
             t.cancel()
 
