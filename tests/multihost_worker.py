@@ -249,6 +249,41 @@ def main():
         assert any("train/gen/total_loss" in l for l in lines), lines
     print(f"MULTIHOST_FSDP_CLI_OK pid={pid}", flush=True)
 
+    # ---- steps_per_call x multihost leg: the K-step scan program over the
+    # 2-process global mesh ([K, D, ...] transfers assembled with
+    # make_array_from_process_local_data; codebook indices fetched from
+    # addressable shards only) ---------------------------------------------
+    cfg4 = tiny_config()
+    save_path4 = os.path.join(tmp, "ckpt_spc")
+    for k, v in (
+        ("dataset.train_dataset", "synthetic"),
+        ("dataset.eval_dataset", "synthetic"),
+        ("general.checkpoints.save_path", save_path4),
+        ("general.checkpoints.save_interval", 2),
+        ("training.main.max_steps", 4),
+        ("training.main.steps_per_call", 2),
+        ("training.main.train_devices", 4),
+        ("training.main.multihost", True),
+        ("training.main.coordinator_address", f"localhost:{port}"),
+        ("training.main.num_processes", 2),
+        ("training.main.process_id", pid),
+        ("training.eval.eval_step_interval", 4),
+        ("training.eval.eval_samples", 4),
+        ("training.eval.log_recon_num", 0),
+        ("training.eval.log_codebook", True),
+    ):
+        cfg4.set_dotted(k, v)
+    cfg4_path = os.path.join(tmp, f"cfg_spc_{pid}.yaml")
+    with open(cfg4_path, "w") as f:
+        f.write(cfg4.to_yaml())
+    train_cli.main([f"config={cfg4_path}"])
+    if pid == 0:
+        lines = [json.loads(l)
+                 for l in open(os.path.join(save_path4, "metrics.jsonl"))]
+        assert any("train/gen/total_loss" in l for l in lines), lines
+        assert any("eval/psnr" in l for l in lines), lines
+    print(f"MULTIHOST_SPC_CLI_OK pid={pid}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -30,6 +30,9 @@ def test_dp_fit(csv_file, tmp_path):
     cfg.set_dotted("training.main.train_devices", 4)
     cfg.set_dotted("training.main.max_steps", 3)
     cfg.set_dotted("training.eval.eval_step_interval", 2)
+    # train-probe pass through the mesh-parallel eval path
+    cfg.set_dotted("training.eval.train_probe_dataset", csv_file)
+    cfg.set_dotted("training.eval.train_probe_samples", 2)
     trainer = DataParallelTrainer(cfg)
     state = trainer.fit()
     assert int(state.step) == 3
@@ -37,9 +40,13 @@ def test_dp_fit(csv_file, tmp_path):
     lines = [json.loads(l) for l in
              open(os.path.join(cfg.general.checkpoints.save_path,
                                "metrics.jsonl"))]
+    import numpy as np
+
     assert any("train/gen/total_loss" in l for l in lines)
     assert any(l.get("perf/devices") == 4 for l in lines)
     assert any("eval/psnr" in l for l in lines)
+    probe = [l["eval/train_psnr"] for l in lines if "eval/train_psnr" in l]
+    assert probe and np.isfinite(probe).all()
 
 
 def test_dp_fit_uint8_wire(csv_file, tmp_path):

@@ -48,4 +48,5 @@ def test_two_process_dp_step(tmp_path):
         assert f"MULTIHOST_CP_OK pid={pid}" in out, out[-3000:]
         assert f"MULTIHOST_CLI_OK pid={pid}" in out, out[-3000:]
         assert f"MULTIHOST_FSDP_CLI_OK pid={pid}" in out, out[-3000:]
+        assert f"MULTIHOST_SPC_CLI_OK pid={pid}" in out, out[-3000:]
         assert "resumed from step 3" in out, out[-3000:]

@@ -215,10 +215,6 @@ class DataParallelTrainer(Trainer):
                     f"{type(self).__name__} (its batch sharding has no "
                     "leading scan axis)"
                 )
-            if self.n_procs > 1:
-                raise ValueError(
-                    "steps_per_call > 1 is not wired for multihost"
-                )
             return self._fit_scan_dp(K, seed, max_steps, log_every,
                                      eval_every)
 
@@ -318,6 +314,16 @@ class DataParallelTrainer(Trainer):
         group_iter = self._stacked_batches(seed)
         first = _StackedGroup(*next(group_iter), use_disc, use_perc)
         state = self._init_state_dp(first.stacked, first.disc, seed)
+        if self.n_procs > 1 and (max_steps - int(state.step)) % K != 0:
+            # the unaligned-tail fallback steps through slices of global
+            # arrays one at a time and fetches per-step metrics/indices —
+            # neither is wired for cross-process sharded arrays; aligned
+            # runs never enter it
+            raise ValueError(
+                "multihost steps_per_call requires steps_per_call to "
+                f"divide the remaining steps ({max_steps} - "
+                f"{int(state.step)} not divisible by {K})"
+            )
         self._eval_step = jax.jit(
             self.builder.make_eval_metrics_step(self.device_im)
         )
@@ -338,19 +344,38 @@ class DataParallelTrainer(Trainer):
         return {"perf/devices": self.n_devices}
 
     def _scan_codebook(self, indices, batches):
-        idx_host = jax.device_get(indices)  # [K, D, S]
+        # [K, D, S] data-sharded on axis 1; multihost can only fetch the
+        # local rows (which is exactly what ``sg.group`` holds)
+        if getattr(indices, "is_fully_addressable", True):
+            idx_host = jax.device_get(indices)[
+                :, self.mh_start : self.mh_start + self.mh_count]
+        else:
+            shards = sorted(indices.addressable_shards,
+                            key=lambda s: s.index[1].start or 0)
+            idx_host = np.concatenate(
+                [np.asarray(s.data) for s in shards], axis=1)
         for j, sg in enumerate(batches):
             for d, b in enumerate(sg.group):
                 self.codebook_logger(unpack_indices(idx_host[j][d], b))
 
     def _shard_grouped(self, tree):
         """[K, D, ...]-stacked scan groups: scan axis replicated, stacked
-        axis on ``data``."""
+        axis on ``data``. Multi-host: the tree holds this process's
+        ``mh_count`` rows on axis 1 — assemble the global array."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         if tree is None:
             return None
-        return jax.device_put(tree, NamedSharding(self.mesh, P(None, "data")))
+        sh = NamedSharding(self.mesh, P(None, "data"))
+        if self.n_procs == 1:
+            return jax.device_put(tree, sh)
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.ascontiguousarray(x),
+                global_shape=(x.shape[0], self.n_devices) + x.shape[2:],
+            ),
+            tree,
+        )
 
     def _make_scan_loader(self, seed, K: int):
         use_disc = self.loss_system.use_disc
@@ -369,27 +394,20 @@ class DataParallelTrainer(Trainer):
             sharding=self._shard_grouped, group=K,
         )
 
-    def validate_dp(self, state, step_num: int):
-        """Mesh-parallel eval: batches grouped D at a time, sharded along
-        the ``data`` axis, one jitted program evals all D per step AND
-        accumulates PSNR/SSIM on device (VERDICT r2 weak #2) — a short
-        final group (padded by repeating its last batch) is masked out of
-        the stats by a row mask inside the jitted step. Recon rows only
-        cross to host when a host-hub metric still needs them."""
+    def _dp_stats_pass(self, state, eval_step, stream,
+                       want_host_rows: bool) -> dict | None:
+        """One mesh-parallel metric pass over a packed-batch stream:
+        batches grouped D at a time, sharded along ``data``, PSNR/SSIM
+        accumulated on device (one fetch per epoch — per-group float(v)
+        fetches cost a blocking round trip each on high-latency device
+        transports). A short final group (padded by repeating its last
+        batch) is masked out of the stats by a row mask inside the jitted
+        step. Recon rows only cross to host when ``want_host_rows`` (a
+        host-hub metric needs them). Returns the device stat tree."""
         from titok_tpu.data.packing import unpack_videos
         from titok_tpu.ops.patchify import decode_rows
-        from titok_tpu.metrics.psnr_device import psnr_from_stats
         from titok_tpu.ops.frames import build_eval_frame_plan
 
-        eval_step = getattr(self, "_eval_step", None)
-        if eval_step is None:
-            eval_step = jax.jit(
-                self.builder.make_eval_metrics_step(self.device_im)
-            )
-        want_host_rows = bool(self.eval_metrics.metrics)
-        # device-side accumulation, one fetch per epoch (see
-        # training/trainer.py:validate — per-group float(v) fetches cost a
-        # blocking round trip each on high-latency device transports)
         acc_dev: dict | None = None
 
         def flush(group):
@@ -428,6 +446,26 @@ class DataParallelTrainer(Trainer):
                     )
                     self.eval_metrics.update(recon, target)
 
+        group: list = []
+        for batch in stream:
+            group.append(batch)
+            if len(group) == self.n_devices:
+                flush(group)
+                group = []
+        if group:
+            flush(group)
+        return acc_dev
+
+    def validate_dp(self, state, step_num: int):
+        """Mesh-parallel eval (VERDICT r2 weak #2) + the train-probe pass
+        (same semantics as ``Trainer._train_probe_scores``)."""
+        from titok_tpu.metrics.psnr_device import psnr_from_stats
+
+        eval_step = getattr(self, "_eval_step", None)
+        if eval_step is None:
+            eval_step = jax.jit(
+                self.builder.make_eval_metrics_step(self.device_im)
+            )
         # deterministic eval stream -> cache the packed batches after the
         # first epoch (same rationale as Trainer.validate)
         if bool(self.config.training.eval.get("cache_eval_batches", True)):
@@ -439,15 +477,10 @@ class DataParallelTrainer(Trainer):
         else:
             eval_stream = self.batches_fn(self.config, eval=True, seed=0)
 
-        group: list = []
-        for batch in eval_stream:
-            group.append(batch)
-            if len(group) == self.n_devices:
-                flush(group)
-                group = []
-        if group:
-            flush(group)
-
+        acc_dev = self._dp_stats_pass(
+            state, eval_step, eval_stream,
+            want_host_rows=bool(self.eval_metrics.metrics),
+        )
         scores = self.eval_metrics.compute()
         self.eval_metrics.reset()
         acc = ({k: float(v) for k, v in jax.device_get(acc_dev).items()}
@@ -458,5 +491,31 @@ class DataParallelTrainer(Trainer):
             )
         if "ssim" in self.device_im and acc.get("ssim_cnt", 0) > 0:
             scores["eval/ssim"] = acc["ssim_sum"] / acc["ssim_cnt"]
+
+        probe_spec = self.config.training.eval.get("train_probe_dataset",
+                                                   None)
+        if probe_spec and self.device_im:
+            if getattr(self, "_train_probe_cache", None) is None:
+                import copy as _copy
+
+                pc = _copy.deepcopy(self.config)
+                pc.dataset.eval_dataset = probe_spec
+                pc.training.eval.eval_samples = int(
+                    self.config.training.eval.get("train_probe_samples", 64))
+                self._train_probe_cache = list(
+                    self.batches_fn(pc, eval=True, seed=0))
+            pacc_dev = self._dp_stats_pass(
+                state, eval_step, self._train_probe_cache,
+                want_host_rows=False,
+            )
+            if pacc_dev is not None:
+                pacc = {k: float(v)
+                        for k, v in jax.device_get(pacc_dev).items()}
+                if "psnr" in self.device_im:
+                    scores["eval/train_psnr"] = psnr_from_stats(
+                        pacc["psnr_sse"], pacc["psnr_cnt"])
+                if "ssim" in self.device_im and pacc.get("ssim_cnt", 0) > 0:
+                    scores["eval/train_ssim"] = (pacc["ssim_sum"]
+                                                 / pacc["ssim_cnt"])
         self.logger.log_metrics(scores, step_num)
         self.logger.log_console(scores, step_num)

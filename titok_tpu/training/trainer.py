@@ -429,7 +429,11 @@ class Trainer:
             if crossed(save_every, start, step_num):
                 self.ckpt.save(step_num, state)
                 last_saved = step_num
-            elif crossed(snap_every, start, step_num):
+            elif (crossed(snap_every, start, step_num)
+                  and getattr(self, "n_procs", 1) == 1):
+                # host snapshot needs a fully-addressable state (same gate
+                # as the non-scan DP loop); multihost relies on the orbax
+                # sharded checkpoints
                 host_state = jax.device_get(state)
                 self.ckpt.save_snapshot(int(host_state.step), host_state)
 
