@@ -112,6 +112,71 @@ def test_dptp_full_gan_step_equals_dp(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+def test_dptp_adafactor_step_equals_dp(rng):
+    """Adafactor x TP (new in round 4): the factored v_row/v_col vectors
+    carry rank-aware Megatron shardings (v_col along ``model`` for
+    column-parallel kernels, v_row for row-parallel) and the sharded GAN
+    step matches plain DP within TP reassociation tolerance."""
+    cfg = tiny_config(**{
+        "tokenizer.losses.disc_weight": 0.4,
+        "optimizer.name": "adafactor",
+    })
+
+    batches = [_batch(np.random.default_rng(i)) for i in range(DP)]
+    ls_probe = LossSystem(cfg)
+    discs = [build_disc_batch(b, ls_probe.disc_tokens) for b in batches]
+    stacked = _stack([b.device_arrays() for b in batches])
+    stacked_d = _stack([d.device_arrays() for d in discs])
+
+    model_dp = make_titok(cfg)
+    dp = DPTrainStepBuilder(model_dp, LossSystem(cfg), cfg)
+    state = dp.init_state(jax.random.PRNGKey(0), stacked, stacked_d)
+    mesh_dp = make_mesh(DP)
+    dp_step = jax.jit(dp.make_train_step({}), donate_argnums=())
+    s_dp, m_dp, idx_dp = dp_step(
+        state, shard_batch_tree(stacked, mesh_dp),
+        shard_batch_tree(stacked_d, mesh_dp), None,
+    )
+
+    mesh = make_dptp_mesh(DP, TP)
+    model_tp = make_titok(cfg, tp_mesh=mesh)
+    dptp = DPTPTrainStepBuilder(model_tp, LossSystem(cfg, tp_mesh=mesh), cfg)
+    dptp.make_optimizers()
+    state_tp = shard_state_tp(state, mesh)
+
+    # the factored second-moment vectors are genuinely sharded: v_col of
+    # a column-parallel kernel lies along the kernel's out dim
+    flat = jax.tree_util.tree_flatten_with_path(state_tp.gen_opt)[0]
+    checked_col = checked_row = False
+    for path, leaf in flat:
+        names = [getattr(p, "key", getattr(p, "name", str(p)))
+                 for p in path]
+        if "v_col" in names and "to_qkv" in names and leaf.ndim == 1 \
+                and leaf.size > 1:
+            assert leaf.sharding.spec == P("model"), names
+            checked_col = True
+        if "v_row" in names and "out_proj" in names and leaf.ndim == 1 \
+                and leaf.size > 1:
+            assert leaf.sharding.spec == P("model"), names
+            checked_row = True
+    assert checked_col and checked_row, "factored vectors not found"
+
+    dptp_step = jax.jit(dptp.make_train_step({}), donate_argnums=())
+    batch_sh = jax.sharding.NamedSharding(mesh, P("data"))
+    s_tp, m_tp, idx_tp = dptp_step(
+        state_tp, jax.device_put(stacked, batch_sh),
+        jax.device_put(stacked_d, batch_sh), None,
+    )
+
+    for k in ("gen/total_loss", "gen/recon_loss", "disc/total_loss"):
+        np.testing.assert_allclose(float(m_tp[k]), float(m_dp[k]),
+                                   atol=2e-4, err_msg=k)
+    np.testing.assert_array_equal(np.asarray(idx_tp), np.asarray(idx_dp))
+    for a, b in zip(jax.tree_util.tree_leaves(s_tp.gen_params),
+                    jax.tree_util.tree_leaves(s_dp.gen_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
 def test_dptp_trainer_fit_synthetic(tmp_path):
     """DPTPTrainer end-to-end on a 4x2 mesh, incl. pure-TP (dp=1) state
     placement through _init_state_dp."""

@@ -34,13 +34,40 @@ ROW_PARALLEL = ("out_proj", "w3")              # kernel [in, out]: shard in
 
 
 def tp_spec_for(path: tuple, leaf, axis: str = "model") -> P:
-    names = [getattr(p, "key", str(p)) for p in path]
+    """Megatron spec for a param/optimizer-state leaf, keyed off trailing
+    path components. Rank-aware so the same rule covers:
+
+    - the kernels themselves and any state that mirrors them at full
+      shape (AdamW mu/nu, optax.ema momentum, non-factored Adafactor v):
+      rank-2 leaves → column/row spec;
+    - Adafactor's FACTORED second-moment vectors
+      (``optax.scale_by_factored_rms``: ``v_row`` has shape [in],
+      ``v_col`` shape [out]): rank-1 leaves sharded iff they lie along
+      the kernel's sharded dim — v_col for column-parallel, v_row for
+      row-parallel; the cross-dim mean that produces the other vector
+      reduces over the sharded axis and GSPMD inserts the psum;
+    - dummy (1,) placeholders (the unfactored slot of a factored param
+      and vice versa): replicated.
+    """
+    # DictKey carries .key, GetAttrKey (NamedTuple states like optax's
+    # FactoredState) carries .name — normalize both
+    names = [getattr(p, "key", None) or getattr(p, "name", None) or str(p)
+             for p in path]
     if names and names[-1] == "kernel" and len(names) >= 2:
         mod = names[-2]
+        ndim = getattr(leaf, "ndim", 0)
+        size = int(getattr(leaf, "size", 0) or 0)
+        factored = next((n for n in names if n in ("v_row", "v_col")), None)
         if mod in COL_PARALLEL:
-            return P(None, axis)
-        if mod in ROW_PARALLEL:
-            return P(axis, None)
+            if ndim == 2:
+                return P(None, axis)
+            if ndim == 1 and size > 1 and factored == "v_col":
+                return P(axis)
+        elif mod in ROW_PARALLEL:
+            if ndim == 2:
+                return P(axis, None)
+            if ndim == 1 and size > 1 and factored == "v_row":
+                return P(axis)
     return P()
 
 

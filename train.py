@@ -44,15 +44,9 @@ def validate_parallel_config(config):
             "training.main.fsdp composes with plain DP only "
             "(cp_devices=tp_devices=1); TP/CP already shard the same bytes"
         )
-    opt_name = str(config.optimizer.get("name", "adamw")).lower()
-    if opt_name != "adamw" and tp_devices > 1:
-        # shard_state_tp places Megatron specs on optimizer moments by
-        # path+shape rules that assume AdamW's param-mirroring mu/nu;
-        # Adafactor's factored v_row/v_col state breaks that assumption
-        raise ValueError(
-            f"optimizer.name={opt_name!r} is not supported with "
-            "tp_devices > 1 (TP moment sharding assumes AdamW state)"
-        )
+    # NOTE: Adafactor composes with TP since round 4 — tp_spec_for is
+    # rank-aware and shards the factored v_row/v_col vectors along the
+    # kernel's sharded dim (tests/test_dptp.py::test_dptp_adafactor_*)
     return devices, cp_devices, tp_devices, fsdp
 
 
