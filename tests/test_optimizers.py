@@ -209,20 +209,25 @@ def test_fsdp_adafactor_step_equals_dp_and_stays_sharded():
             assert _n_devices_of(leaf_out) > 1, path
 
 
-def test_tp_gate_rejects_adafactor():
+def test_parallel_config_compositions():
+    """Round 4: adafactor composes with TP (rank-aware factored-moment
+    shardings, tests/test_dptp.py) — the config gate accepts it; FSDP
+    still rejects CP/TP (those axes already shard the same bytes)."""
     from train import validate_parallel_config
 
-    cfg = tiny_config(**{
+    validate_parallel_config(tiny_config(**{
         "optimizer.name": "adafactor",
         "training.main.tp_devices": 2,
-    })
-    with pytest.raises(ValueError, match="adafactor"):
-        validate_parallel_config(cfg)
-
-    # adamw composes with TP; adafactor composes with everything else
+    }))
     validate_parallel_config(tiny_config(**{"training.main.tp_devices": 2}))
     validate_parallel_config(tiny_config(**{
         "optimizer.name": "adafactor",
         "training.main.train_devices": 4,
         "training.main.fsdp": True,
     }))
+    with pytest.raises(ValueError, match="fsdp"):
+        validate_parallel_config(tiny_config(**{
+            "training.main.train_devices": 4,
+            "training.main.fsdp": True,
+            "training.main.tp_devices": 2,
+        }))
