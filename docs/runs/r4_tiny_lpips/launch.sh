@@ -19,6 +19,11 @@
 # tower makes this the heaviest remote compile attempted after
 # all-large (round-1 attempt wedged the relay; round-3's 27-min
 # all-large compile succeeded — launch under the supervisor and poll).
+#
+# steps_per_call=8: first PRODUCTION run of the K-step scan path on the
+# relay — lax.scan compiles the step body once (compile cost ~= K=1)
+# and amortizes the per-dispatch relay RTT that dominates tiny-config
+# steps (0.33 s/step production vs 48 ms on-chip, round-3 numbers).
 exec python tools/train_supervised.py config=configs/tiny.yaml \
     general.wandb.run_name=r4-tiny-lpips \
     tokenizer.losses.perceptual_weight=1.0 \
@@ -28,6 +33,7 @@ exec python tools/train_supervised.py config=configs/tiny.yaml \
     general.checkpoints.preemption_save_timeout_s=450 \
     general.checkpoints.save_interval=1000 \
     dataset.uint8_wire=true \
+    training.main.steps_per_call=8 \
     "dataset.train_dataset=.scratch/wds/train/{00000..00018}.tar" \
     "dataset.eval_dataset=.scratch/wds/eval/{00000..00002}.tar" \
     training.eval.train_probe_dataset=.scratch/wds/train/00000.tar \
