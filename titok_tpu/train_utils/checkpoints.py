@@ -124,6 +124,26 @@ class CheckpointManager:
         return self.restore(state_template, ckpt_step)
 
 
+def restore_raw(ckptr: "ocp.StandardCheckpointer", path: str) -> Any:
+    """Template-free restore that also works across platforms.
+
+    A bare ``ckptr.restore(path)`` replays the shardings recorded at save
+    time, which fails when the checkpoint was written on different
+    hardware (e.g. scoring a TPU-trained checkpoint on CPU). Fall back to
+    building an abstract template from the checkpoint's own metadata with
+    a concrete local single-device sharding.
+    """
+    try:
+        return ckptr.restore(path)
+    except Exception:
+        md = ckptr.metadata(path).item_metadata
+        sh = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+        abstract = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sh), md
+        )
+        return ckptr.restore(path, abstract)
+
+
 def _merge_by_key(dst: Any, src: Any, prefix: str, report: dict) -> Any:
     """Torch ``load_state_dict(strict=False)`` semantics over nested dicts:
     keys present in both (with matching leaf shapes) come from ``src``;
@@ -169,7 +189,7 @@ def restore_weights_only(path: str, state: Any, verbose: bool = True) -> Any:
     if os.path.isdir(os.path.join(path, "default")):
         path = os.path.join(path, "default")
     ckptr = ocp.StandardCheckpointer()
-    raw = ckptr.restore(path)  # nested dicts, no template required
+    raw = restore_raw(ckptr, path)  # nested dicts, no template required
     report = {"loaded": 0, "missing": [], "unexpected": [], "mismatched": []}
     gen_params = _merge_by_key(
         state.gen_params, raw.get("gen_params", {}), "gen", report

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 import sys
 
 # allow running as `python tools/<name>.py` from the repo root
@@ -57,6 +58,11 @@ def _resolve_ckpts(path: str, steps: str) -> list[tuple[int, str]]:
     base = os.path.basename(path.rstrip("/"))
     if base.isdigit():  # a single step dir
         return [(int(base), path)]
+    if os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA")):
+        # bare orbax checkpoint (e.g. a tools/save_weights.py artifact);
+        # label with trailing digits in the dir name if any
+        m = re.search(r"(\d+)$", base)
+        return [(int(m.group(1)) if m else 0, path)]
     all_steps = _list_steps(path)
     if not all_steps:
         raise FileNotFoundError(f"no checkpoint step dirs under {path}")
