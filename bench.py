@@ -387,6 +387,7 @@ def bench_steps_per_call(seq_len=12288, clip=(16, 160, 160), token_count=64,
         st, loss = prog(state0, arrs, disc_arrs)   # compile + warm
         _ = np.asarray(loss)
         dispatches = total_steps // k
+        steps_run = dispatches * k  # only full dispatches execute
         st = state0
         t0 = time.perf_counter()
         for _ in range(dispatches):
@@ -396,9 +397,9 @@ def bench_steps_per_call(seq_len=12288, clip=(16, 160, 160), token_count=64,
         line = {
             "metric": f"train-step L1+GAN steps_per_call={k} ({tag}, "
                       f"{clip[0]}x{clip[1]}^2 clips, seq {seq_len})",
-            "value": round(n * total_steps / dt, 3),
+            "value": round(n * steps_run / dt, 3),
             "unit": "clips/sec/chip",
-            "step_ms": round(dt / total_steps * 1e3, 2),
+            "step_ms": round(dt / steps_run * 1e3, 2),
             "dispatches": dispatches,
         }
         results[f"spc_{k}"] = line
@@ -518,12 +519,37 @@ def main():
     # warmup: compile + one full chained run, fetched
     _ = np.asarray(fn(params, arrs)[0])
 
-    t0 = time.perf_counter()
-    out = fn(params, arrs)
-    _ = np.asarray(out[0])  # forces completion across the tunnel
-    dt = time.perf_counter() - t0
+    def timed_run():
+        t0 = time.perf_counter()
+        out = fn(params, arrs)
+        _ = np.asarray(out[0])  # forces completion across the tunnel
+        return clips_per_batch * iters / (time.perf_counter() - t0)
 
-    clips_per_sec = clips_per_batch * iters / dt
+    clips_per_sec = timed_run()
+
+    # Contention guard (rounds 3+4 both shipped corrupted canonical
+    # forward numbers — a replay and a chip shared with a training run).
+    # If the measurement is far below the last recorded one, someone else
+    # is probably on the chip: re-measure with backoff, keep the best, and
+    # annotate if it never recovers. The annotation makes a contended
+    # artifact self-describing instead of silently wrong.
+    note = None
+    prior = None
+    if os.path.exists(LAST_PATH):
+        try:
+            prior = float(json.load(open(LAST_PATH)).get("value") or 0)
+        except Exception:
+            prior = None
+    if prior and clips_per_sec < 0.5 * prior:
+        for wait in (30, 120):
+            time.sleep(wait)
+            clips_per_sec = max(clips_per_sec, timed_run())
+            if clips_per_sec >= 0.5 * prior:
+                break
+        if clips_per_sec < 0.5 * prior:
+            note = (f"suspect contention: measured {clips_per_sec:.1f} "
+                    f"clips/s vs {prior:.1f} last recorded; best of 3 "
+                    "timed runs with 30/120 s backoff")
 
     vs = 1.0
     if os.path.exists(BASELINE_PATH):
@@ -545,7 +571,11 @@ def main():
         "unit": "clips/sec/chip",
         "vs_baseline": round(vs, 4),
     }
-    json.dump(result, open(LAST_PATH, "w"))
+    if note:
+        result["note"] = note
+    # a contended number must not become the next run's "last good" bar
+    if note is None:
+        json.dump(result, open(LAST_PATH, "w"))
     print(json.dumps(result), flush=True)
 
     # train-step metrics (stderr; own watchdog so a wedge can't retract the

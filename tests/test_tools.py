@@ -330,6 +330,21 @@ def test_evaluate_cli(tmp_path, video_dir):
     # test_quant.py on matched indices.
     assert abs(got - ref) < 1.5, (got, ref)
 
+    # token-count rate-distortion sweep (--token-sweep): one row per fixed
+    # count, scored on repacked eval batches through the same compiled
+    # program (reference's 1-128 token axis, dataset/video_dataset.py:139)
+    r = subprocess.run(
+        [sys.executable, "tools/evaluate.py", f"config={cfgpath}",
+         "--ckpt", str(tmp_path / "out" / "2"),
+         "--out", str(tmp_path / "sweep"), "--token-sweep", "1,4"],
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=480,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    rows = [json.loads(l) for l in
+            open(tmp_path / "sweep" / "token_sweep.jsonl")]
+    assert [row["token_count"] for row in rows] == [1, 4]
+    assert all("eval/psnr" in row and row["step"] == 2 for row in rows)
+
 
 def test_supervisor_resumes_on_first_launch_over_existing_run(tmp_path):
     """A supervisor (re)started over a run dir that already has checkpoints

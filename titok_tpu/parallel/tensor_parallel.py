@@ -50,8 +50,11 @@ def tp_spec_for(path: tuple, leaf, axis: str = "model") -> P:
       and vice versa): replicated.
     """
     # DictKey carries .key, GetAttrKey (NamedTuple states like optax's
-    # FactoredState) carries .name — normalize both
-    names = [getattr(p, "key", None) or getattr(p, "name", None) or str(p)
+    # FactoredState) carries .name — normalize both. Explicit None checks:
+    # an `or`-chain would drop falsy keys (0, "") to str(p)
+    names = [next((str(k) for k in (getattr(p, "key", None),
+                                    getattr(p, "name", None))
+                   if k is not None), str(p))
              for p in path]
     if names and names[-1] == "kernel" and len(names) >= 2:
         mod = names[-2]

@@ -350,8 +350,12 @@ class DataParallelTrainer(Trainer):
             idx_host = jax.device_get(indices)[
                 :, self.mh_start : self.mh_start + self.mh_count]
         else:
-            shards = sorted(indices.addressable_shards,
-                            key=lambda s: s.index[1].start or 0)
+            # keep one shard per distinct index: replication along any
+            # other mesh axis would otherwise concatenate duplicate rows
+            by_index = {}
+            for s in indices.addressable_shards:
+                by_index.setdefault(s.index[1].start or 0, s)
+            shards = [by_index[k] for k in sorted(by_index)]
             idx_host = np.concatenate(
                 [np.asarray(s.data) for s in shards], axis=1)
         for j, sg in enumerate(batches):

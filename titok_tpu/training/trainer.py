@@ -685,6 +685,7 @@ class Trainer:
         self.logger.log_console(scores, step_num)
         if self.codebook_logger is not None and self.codebook_logger.is_score_ready():
             self.logger.log_metrics(self.codebook_logger.get_scores(), step_num)
+        return scores
 
     def _train_probe_scores(self, state, eval_step) -> dict:
         """Device-metric pass over a held-IN probe of TRAIN clips.

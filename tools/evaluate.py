@@ -80,7 +80,7 @@ def main(argv: list[str]) -> None:
     flags, cfg_args = [], []
     it = iter(argv)
     for a in it:
-        if a in ("--ckpt", "--out", "--steps", "--quant"):
+        if a in ("--ckpt", "--out", "--steps", "--quant", "--token-sweep"):
             flags += [a, next(it)]
         else:
             cfg_args.append(a)
@@ -92,6 +92,15 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--steps", default="latest",
                     help="'latest' (default), 'all', or a step number — "
                          "for run-dir --ckpt")
+    ap.add_argument("--token-sweep", default=None,
+                    help="comma-separated latent-token counts (e.g. "
+                         "'1,4,16,64,128'): score the eval set once per "
+                         "FIXED count instead of the training protocol's "
+                         "random draw — the rate-distortion curve over the "
+                         "reference's defining 1-128 token axis "
+                         "(/root/reference/dataset/video_dataset.py:139-141,"
+                         " model/titok.py:54-62). Writes "
+                         "<out>/token_sweep.jsonl")
     ap.add_argument("--quant", choices=("w8a16", "w8a8"), default=None,
                     help="score the int8 serving path: quantize the "
                          "restored generator (titok_tpu/serving/quant.py) "
@@ -129,8 +138,7 @@ def main(argv: list[str]) -> None:
     state = trainer.builder.init_state(
         jax.random.PRNGKey(0), probe.device_arrays(), None
     )
-    for step, ckpt_dir in ckpts:
-        state = restore_weights_only(ckpt_dir, state)
+    def run_validate(st, step):
         if args.quant:
             # jit-tracing of the eval step happens inside the interceptor
             # context, so the compiled program runs int8 Dense layers over
@@ -142,11 +150,41 @@ def main(argv: list[str]) -> None:
                 quantize_params,
             )
 
-            qstate = state.replace(gen_params=quantize_params(state.gen_params))
+            qstate = st.replace(gen_params=quantize_params(st.gen_params))
             with nn.intercept_methods(make_interceptor(args.quant)):
-                trainer.validate(qstate, step)
+                return trainer.validate(qstate, step)
+        return trainer.validate(st, step)
+
+    for step, ckpt_dir in ckpts:
+        state = restore_weights_only(ckpt_dir, state)
+        if args.token_sweep:
+            import json
+
+            counts = [int(x) for x in args.token_sweep.split(",")]
+            # per-count epochs need repacked batches, not re-jitted
+            # programs: packed shapes are static in seq_len, token counts
+            # are data — one compile serves the whole sweep
+            trainer.config.set_dotted("training.eval.train_probe_dataset",
+                                      None)
+            trainer.config.set_dotted("training.eval.log_recon_num", 0)
+            os.makedirs(out, exist_ok=True)
+            sweep_path = os.path.join(out, "token_sweep.jsonl")
+            with open(sweep_path, "a") as f:
+                for c in counts:
+                    trainer.config.set_dotted(
+                        "training.sampling.token_range", [c, c])
+                    trainer._eval_cache = None
+                    scores = run_validate(state, step) or {}
+                    row = {"step": step, "token_count": c,
+                           "quant": args.quant,
+                           **{k: float(v) for k, v in scores.items()}}
+                    f.write(json.dumps(row) + "\n")
+                    f.flush()
+                    print(f"tokens={c:4d}  " + "  ".join(
+                        f"{k}={v:.4g}" for k, v in row.items()
+                        if k.startswith("eval/")))
         else:
-            trainer.validate(state, step)
+            run_validate(state, step)
 
 
 if __name__ == "__main__":

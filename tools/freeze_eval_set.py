@@ -90,8 +90,12 @@ def verify(src_dir: str, frozen_dir: str) -> None:
             else:
                 bad = [k for k in frozen
                        if members.get(k) != frozen[k]]
-                print(f"MISMATCH {s}: {len(bad)} members differ "
-                      f"(e.g. {bad[:3]})")
+                extra = sorted(set(members) - set(frozen))
+                parts = [f"{len(bad)} members differ (e.g. {bad[:3]})"]
+                if extra:
+                    parts.append(
+                        f"{len(extra)} extra/renamed (e.g. {extra[:3]})")
+                print(f"MISMATCH {s}: " + "; ".join(parts))
                 ok = False
     print("OK" if ok else "FAILED")
     if not ok:
