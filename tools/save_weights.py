@@ -25,6 +25,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# pure host work (read ckpt -> numpy -> write ckpt): never touch the TPU
+# relay, and don't let the axon sitecustomize force it either
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -32,6 +38,9 @@ def main() -> None:
     ap.add_argument("out", help="output dir for the weights-only artifact")
     ap.add_argument("--no-disc", action="store_true",
                     help="drop discriminator params (serving-only artifact)")
+    ap.add_argument("--dtype", choices=("f32", "bf16"), default="f32",
+                    help="bf16 halves the artifact; restore_weights_only "
+                         "casts leaves back to the state dtype on load")
     args = ap.parse_args()
 
     import numpy as np
@@ -63,6 +72,16 @@ def main() -> None:
     # from is pinned to the devices it was saved on)
     import jax
 
+    if args.dtype == "bf16":
+        import jax.numpy as jnp
+
+        def cast(x):
+            a = np.asarray(x)
+            if a.dtype == np.float32:
+                return np.asarray(jnp.asarray(a, jnp.bfloat16))
+            return a
+
+        keep = jax.tree_util.tree_map(cast, keep)
     keep = jax.tree_util.tree_map(np.asarray, keep)
     ckptr.save(out, keep, force=True)
     ckptr.wait_until_finished()
