@@ -214,3 +214,43 @@ def test_resave_existing_step_is_a_noop(rng, tmp_path):
     assert ckpt.save(int(state.step), state) is False  # no raise
     assert ckpt.latest_step() == int(state.step)
     ckpt.close()
+
+
+def test_restore_raw_metadata_fallback(tmp_path, monkeypatch):
+    """Cross-platform restore: when the template-free restore fails (a
+    checkpoint saved on other hardware replays its recorded shardings),
+    restore_raw rebuilds an abstract template from checkpoint metadata
+    with a concrete local sharding and restores through that."""
+    import orbax.checkpoint as ocp
+
+    from titok_tpu.train_utils.checkpoints import restore_raw
+
+    tree = {"gen_params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+            "step": np.int64(7)}
+    ckptr = ocp.StandardCheckpointer()
+    path = str(tmp_path / "ck")
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+
+    # direct path works
+    out = restore_raw(ckptr, path)
+    np.testing.assert_array_equal(out["gen_params"]["w"], tree["gen_params"]["w"])
+
+    # force the template-free path to fail -> metadata fallback must
+    # produce the same tree
+    real_restore = ocp.StandardCheckpointer.restore
+    calls = {"n": 0}
+
+    def flaky(self, directory, *args, **kwargs):
+        calls["n"] += 1
+        if not args and not kwargs:
+            raise ValueError("Device TPU v5 lite0 was not found")
+        return real_restore(self, directory, *args, **kwargs)
+
+    monkeypatch.setattr(ocp.StandardCheckpointer, "restore", flaky)
+    out2 = restore_raw(ckptr, path)
+    np.testing.assert_array_equal(out2["gen_params"]["w"],
+                                  tree["gen_params"]["w"])
+    assert int(out2["step"]) == 7
+    assert calls["n"] >= 2  # fell back after the forced failure
+    ckptr.close()
