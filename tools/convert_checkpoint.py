@@ -134,8 +134,11 @@ def main():
         import orbax.checkpoint as ocp
         import torch
 
-        tree = ocp.StandardCheckpointer().restore(src)
-        sd = {k: torch.from_numpy(v) for k, v in flax_to_torch_sd(tree).items()}
+        from titok_tpu.train_utils.checkpoints import restore_raw
+
+        tree = restore_raw(ocp.StandardCheckpointer(), src)
+        sd = {k: torch.from_numpy(np.asarray(v))
+              for k, v in flax_to_torch_sd(tree).items()}
         torch.save({"state_dict": sd}, dst)
         print(f"saved torch checkpoint to {dst}")
     else:

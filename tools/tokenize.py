@@ -63,7 +63,9 @@ def _load_model(config_path: str, ckpt: str | None, token_count: int,
         path = os.path.abspath(ckpt)
         if os.path.isdir(os.path.join(path, "default")):
             path = os.path.join(path, "default")
-        restored = ocp.StandardCheckpointer().restore(path)
+        from titok_tpu.train_utils.checkpoints import restore_raw
+
+        restored = restore_raw(ocp.StandardCheckpointer(), path)
         # accept either a bare param tree or a TrainState-shaped dict
         params = restored.get("gen_params", restored) if isinstance(
             restored, dict) else restored.gen_params
