@@ -333,7 +333,7 @@ SPC_LAST_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def bench_steps_per_call(seq_len=12288, clip=(16, 160, 160), token_count=64,
                          total_steps=16, ks=(1, 8), model_size="base",
-                         remat=True, tag="base cfg remat"):
+                         remat=True, tag="base cfg remat", results=None):
     """K-steps-per-dispatch amortization at base scale (round-3 verdict
     "do this" #8): ``training.main.steps_per_call`` exists to amortize
     the per-dispatch relay RTT, but no on-chip K>1 number was committed.
@@ -373,7 +373,7 @@ def bench_steps_per_call(seq_len=12288, clip=(16, 160, 160), token_count=64,
     state0 = builder.init_state(jax.random.PRNGKey(0), arrs, disc_arrs)
     step_fn = builder.make_train_step({})
 
-    results = {}
+    results = {} if results is None else results
     for k in ks:
         def k_program(state, arrs, disc_arrs, k=k):
             def body(st, _):
@@ -402,7 +402,7 @@ def bench_steps_per_call(seq_len=12288, clip=(16, 160, 160), token_count=64,
             "step_ms": round(dt / steps_run * 1e3, 2),
             "dispatches": dispatches,
         }
-        results[f"spc_{k}"] = line
+        results[f"spc_{model_size}_{k}"] = line
         print(json.dumps(line), file=sys.stderr, flush=True)
         json.dump(results, open(SPC_LAST_PATH, "w"))
     return results
@@ -683,7 +683,12 @@ def main():
         t.daemon = True
         t.start()
         try:
-            bench_steps_per_call()
+            # tiny first (light compile, the production r4 shape), then
+            # the heavy base program — both into one SPC_LAST artifact
+            r = bench_steps_per_call(
+                seq_len=6144, clip=(8, 128, 128), model_size="tiny",
+                remat=False, tag="tiny cfg")
+            bench_steps_per_call(results=r)
         finally:
             t.cancel()
 
