@@ -10,9 +10,12 @@
 #      window's health.
 #   2. ALL-LARGE: LARGE enc+dec+disc + adafactor + remat (the config
 #      AdamW cannot fit in one v5e's 15.75 GB HBM — see
-#      docs/runs/r3c_large_smoke), 2,000 steps on the real WDS corpus.
+#      docs/runs/r3c_large_smoke), 1,500 steps on the real WDS corpus,
+#      hard-capped at 75 min wall (metrics flush every 50 steps, so a
+#      slow-step anomaly still yields its measurement without eating
+#      the window).
 #   3. CONTROL again: 150 base steps — detects a mid-window relay slide.
-# Eval/saves off in the controls; the all-large leg saves at 1000/2000.
+# Eval/saves off everywhere: the claim is step-time + loss curves.
 set -x
 cd /root/repo
 PY=/opt/venv/bin/python
@@ -34,12 +37,12 @@ control() {
 }
 control
 cp .scratch/r5c_base_control/metrics.jsonl /tmp/r5c_control_pre.jsonl
-$PY tools/train_supervised.py config=configs/tiny.yaml \
+timeout 4500 $PY tools/train_supervised.py config=configs/tiny.yaml \
     tokenizer.losses.perceptual_weight=0.0 \
     general.checkpoints.save_path=.scratch/r5c_alllarge \
     general.checkpoints.host_snapshot_interval=0 \
-    general.checkpoints.preemption_save_timeout_s=450 \
-    general.checkpoints.save_interval=1000 \
+    general.checkpoints.preemption_save_timeout_s=60 \
+    general.checkpoints.save_interval=0 \
     training.eval.eval_step_interval=0 \
     tokenizer.model.encoder_size=large \
     tokenizer.model.decoder_size=large \
@@ -49,6 +52,6 @@ $PY tools/train_supervised.py config=configs/tiny.yaml \
     dataset.uint8_wire=true \
     "dataset.train_dataset=.scratch/wds/train/{00000..00018}.tar" \
     "dataset.eval_dataset=.scratch/wds/eval/{00000..00002}.tar" \
-    training.main.max_steps=2000
+    training.main.max_steps=1500
 control
 cp .scratch/r5c_base_control/metrics.jsonl /tmp/r5c_control_post.jsonl
