@@ -11,7 +11,7 @@
 #   2. ALL-LARGE: LARGE enc+dec+disc + adafactor + remat (the config
 #      AdamW cannot fit in one v5e's 15.75 GB HBM — see
 #      docs/runs/r3c_large_smoke), 1,500 steps on the real WDS corpus,
-#      hard-capped at 75 min wall (metrics flush every 50 steps, so a
+#      hard-capped at 50 min wall (metrics flush every 50 steps, so a
 #      slow-step anomaly still yields its measurement without eating
 #      the window).
 #   3. CONTROL again: 150 base steps — detects a mid-window relay slide.
@@ -37,7 +37,7 @@ control() {
 }
 control
 cp .scratch/r5c_base_control/metrics.jsonl /tmp/r5c_control_pre.jsonl
-timeout 4500 $PY tools/train_supervised.py config=configs/tiny.yaml \
+timeout 3000 $PY tools/train_supervised.py config=configs/tiny.yaml \
     tokenizer.losses.perceptual_weight=0.0 \
     general.checkpoints.save_path=.scratch/r5c_alllarge \
     general.checkpoints.host_snapshot_interval=0 \
