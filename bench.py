@@ -683,12 +683,19 @@ def main():
         t.daemon = True
         t.start()
         try:
-            # tiny first (light compile, the production r4 shape), then
-            # the heavy base program — both into one SPC_LAST artifact
-            r = bench_steps_per_call(
+            # tiny inline (light compile, the production r4 shape); the
+            # heavy base program in a FRESH subprocess — by this point
+            # main() holds forward+train+int8 state on the chip and the
+            # base K=8 remat program OOMs HBM beside it (hit 2026-08-21)
+            bench_steps_per_call(
                 seq_len=6144, clip=(8, 128, 128), model_size="tiny",
                 remat=False, tag="tiny cfg")
-            bench_steps_per_call(results=r)
+            import subprocess
+
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--spc-base"],
+                timeout=WATCHDOG_S * 4,
+            )
         finally:
             t.cancel()
 
@@ -729,4 +736,17 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--spc-base" in sys.argv:
+        # fresh-process leg of the SPC sweep (see the TITOK_BENCH_SPC
+        # gate): merge into the artifact the tiny leg already wrote
+        prior = {}
+        if os.path.exists(SPC_LAST_PATH):
+            try:
+                prior = json.load(open(SPC_LAST_PATH))
+            except Exception:
+                prior = {}
+        bench_steps_per_call(results=prior)
+    else:
+        main()
