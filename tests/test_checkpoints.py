@@ -254,3 +254,22 @@ def test_restore_raw_metadata_fallback(tmp_path, monkeypatch):
     assert int(out2["step"]) == 7
     assert calls["n"] >= 2  # fell back after the forced failure
     ckptr.close()
+
+
+def test_save_interval_zero_disables_periodic_saves(rng, tmp_path):
+    """save_interval=0 means smoke/bench runs with periodic saves OFF.
+    orbax's interval policy computes step % interval, so a raw 0 raised
+    ZeroDivisionError on the FIRST maybe_save — a crash-restart loop
+    under the supervisor (the round-3 r3f '>8 s/step' window)."""
+    batch = pack_samples(synthetic_videos(rng, 1), [2], seq_len=128,
+                         max_samples=4, patch_size=PATCH)
+    state = _state(tiny_config(), batch, seed=0)
+    ckpt = CheckpointManager(str(tmp_path / "ck"), save_interval=0)
+    assert ckpt.maybe_save(1, state) is False
+    assert ckpt.maybe_save(1000, state) is False
+    assert ckpt.latest_step() is None
+    # explicit save still works (final/preemption path)
+    assert ckpt.save(7, state)
+    ckpt.wait()
+    assert ckpt.latest_step() == 7
+    ckpt.close()

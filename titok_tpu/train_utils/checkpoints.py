@@ -31,7 +31,11 @@ class CheckpointManager:
         os.makedirs(self.directory, exist_ok=True)
         options = ocp.CheckpointManagerOptions(
             max_to_keep=None if keep in (-1, None) else int(keep),
-            save_interval_steps=int(save_interval),
+            # interval <= 0 means "periodic saves off" (smoke/bench runs);
+            # orbax's interval policy computes step % interval and a 0
+            # crashes the first maybe_save with ZeroDivisionError — the
+            # crash-restart loop behind the r3f ">8 s/step" window
+            save_interval_steps=max(int(save_interval), 1),
             enable_async_checkpointing=True,
         )
         self.mgr = ocp.CheckpointManager(self.directory, options=options)
@@ -39,6 +43,8 @@ class CheckpointManager:
 
     def maybe_save(self, step: int, state: Any) -> bool:
         """Save if the interval policy wants this step. Non-blocking."""
+        if self.save_interval <= 0:
+            return False
         return self.mgr.save(int(step), args=ocp.args.StandardSave(state))
 
     def save(self, step: int, state: Any) -> bool:
